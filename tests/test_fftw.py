@@ -1,0 +1,186 @@
+"""Serial transform layer tests.
+
+Port of the reference L1 test strategy (reference: tests/test_fftw.py):
+exhaustive sweep over dims x sizes x precisions x axis windows, round-trips
+for r2c/c2r, c2c, hfft/ihfft, r2r types 1-4 vs scipy, random mixed r2r kinds
+vs scipy composed per-axis, and the wisdom surface.  The 'g' (long double)
+tier does not exist on TPU and is skipped via fftlib membership, exactly how
+the reference skips unavailable precisions (test_fftw.py:37-40).
+"""
+from itertools import product
+
+import numpy as np
+import pytest
+import scipy.fft
+
+from mpi4py_fft_tpu import fftw
+
+abstol = dict(f=5e-4, d=1e-12)
+
+kinds = {'dst4': fftw.FFTW_RODFT11,
+         'dct4': fftw.FFTW_REDFT11,
+         'dst3': fftw.FFTW_RODFT01,
+         'dct3': fftw.FFTW_REDFT01,
+         'dct2': fftw.FFTW_REDFT10,
+         'dst2': fftw.FFTW_RODFT10,
+         'dct1': fftw.FFTW_REDFT00,
+         'dst1': fftw.FFTW_RODFT00}
+rkinds = {val: key for key, val in kinds.items()}
+
+
+def allclose(a, b):
+    atol = abstol[np.dtype(a.dtype).char.lower()]
+    return np.allclose(a, b, atol=atol)
+
+
+def _types():
+    return [t for t in 'fd' if t.upper() in fftw.fftlib]
+
+
+@pytest.mark.parametrize("typecode", _types())
+@pytest.mark.parametrize("dim", (1, 2, 3))
+def test_fftw(typecode, dim):
+    rng = np.random.default_rng(42)
+    sizes = (7, 8, 10)
+    fflags = (fftw.FFTW_ESTIMATE, fftw.FFTW_DESTROY_INPUT)
+    iflags = (fftw.FFTW_ESTIMATE, fftw.FFTW_DESTROY_INPUT)
+    threads = 1
+
+    if dim < 3:
+        shapes = list(product(*([sizes] * dim)))
+    else:
+        # sample of the full product: odd/even/r2c-edge combinations are
+        # exhaustively covered by the dim-1/2 sweeps already
+        shapes = [(7, 8, 10), (8, 8, 8), (10, 7, 8), (7, 7, 7)]
+    for shape in shapes:
+        allaxes = tuple(reversed(range(dim)))
+        for i in range(dim):
+            for j in range(i + 1, dim):
+                axes = allaxes[i:j]
+
+                # r2c <-> c2r
+                input_array = fftw.aligned(shape, dtype=typecode)
+                outshape = list(shape)
+                outshape[axes[-1]] = shape[axes[-1]] // 2 + 1
+                output_array = fftw.aligned(outshape, dtype=typecode.upper())
+                oa = output_array if typecode == 'd' else None
+                rfftn = fftw.rfftn(input_array, None, axes, threads, fflags,
+                                   output_array=oa)
+                A = rng.random(shape).astype(typecode)
+                input_array[:] = A
+                B = rfftn()
+                assert id(B) == id(rfftn.output_array)
+                B2 = np.fft.rfftn(input_array, axes=axes)
+                assert allclose(B, B2), np.linalg.norm(B - B2)
+                ia = input_array if typecode == 'd' else None
+                sa = (np.take(input_array.shape, axes)
+                      if shape[axes[-1]] % 2 == 1 else None)
+                irfftn = fftw.irfftn(output_array, sa, axes, threads, iflags,
+                                     output_array=ia)
+                irfftn.input_array[...] = B
+                A2 = irfftn(normalize=True)
+                assert allclose(A, A2), np.linalg.norm(A - A2)
+
+                # Hermitian transforms
+                hfftn = fftw.hfftn(output_array, sa, axes, threads, fflags,
+                                   output_array=ia)
+                hfftn.input_array[...] = B
+                AC = hfftn().copy()
+                ihfftn = fftw.ihfftn(input_array, None, axes, threads, iflags,
+                                     output_array=oa)
+                A2 = ihfftn(AC, implicit=False, normalize=True)
+                assert allclose(A2, B), np.linalg.norm(A2 - B)
+
+                # c2c
+                input_array = fftw.aligned(shape, dtype=typecode.upper())
+                output_array = fftw.aligned_like(input_array)
+                oa = output_array if typecode == 'd' else None
+                fftn = fftw.fftn(input_array, None, axes, threads, fflags,
+                                 output_array=oa)
+                C = (rng.random(shape) + 1j * rng.random(shape)).astype(
+                    typecode.upper())
+                fftn.input_array[...] = C
+                D = fftn().copy()
+                D2 = np.fft.fftn(C, axes=axes)
+                assert allclose(D, D2), np.linalg.norm(D - D2)
+                ifftn = fftw.ifftn(input_array, None, axes, threads, iflags,
+                                   output_array=oa)
+                ifftn.input_array[...] = D
+                C2 = ifftn(normalize=True)
+                assert allclose(C, C2), np.linalg.norm(C - C2)
+
+                # r2r types 1-4 round-trip + scipy comparison
+                input_array = fftw.aligned(shape, dtype=typecode)
+                output_array = fftw.aligned_like(input_array)
+                oa = output_array if typecode == 'd' else None
+                A = rng.random(shape).astype(typecode)
+                for type_ in (1, 2, 3, 4):
+                    dct = fftw.dctn(input_array, None, axes, type_, threads,
+                                    fflags, output_array=oa)
+                    B = dct(A).copy()
+                    idct = fftw.idctn(input_array, None, axes, type_, threads,
+                                      iflags, output_array=oa)
+                    A2 = idct(B, implicit=True, normalize=True)
+                    assert allclose(A, A2), np.linalg.norm(A - A2)
+                    B2 = scipy.fft.dctn(A, axes=axes, type=type_, norm=None)
+                    assert allclose(B, B2), np.linalg.norm(B - B2)
+
+                    dst = fftw.dstn(input_array, None, axes, type_, threads,
+                                    fflags, output_array=oa)
+                    B = dst(A).copy()
+                    idst = fftw.idstn(input_array, None, axes, type_, threads,
+                                      iflags, output_array=oa)
+                    A2 = idst(B, implicit=True, normalize=True)
+                    assert allclose(A, A2), np.linalg.norm(A - A2)
+                    B2 = scipy.fft.dstn(A, axes=axes, type=type_, norm=None)
+                    assert allclose(B, B2), np.linalg.norm(B - B2)
+
+                # random mixed r2r kinds, one per axis, vs scipy per-axis
+                naxes = len(axes)
+                kds = rng.integers(3, 11, size=naxes)
+                tsf = [rkinds[k] for k in kds]
+                T = fftw.get_planned_FFT(input_array, input_array.copy(),
+                                         axes=axes, kind=kds,
+                                         threads=threads, flags=fflags)
+                C = T(A)
+                TI = fftw.get_planned_FFT(
+                    input_array.copy(), input_array.copy(), axes=axes,
+                    kind=[fftw.inverse[kd] for kd in kds],
+                    threads=threads, flags=iflags)
+                C2 = TI(C)
+                M = fftw.get_normalization(list(kds), input_array.shape, axes)
+                assert allclose(C2 * M, A)
+                Aref = A.copy()
+                for m, ts in enumerate(tsf):
+                    fn = scipy.fft.dct if ts.startswith('dct') else scipy.fft.dst
+                    Aref = fn(Aref, axis=axes[m], type=int(ts[-1]), norm=None)
+                assert allclose(C, Aref), np.linalg.norm(C - Aref)
+
+
+def test_wisdom(tmp_path):
+    """Wisdom == persistent XLA compilation cache
+    (reference: tests/test_fftw.py:140-144)."""
+    w = str(tmp_path / 'newwisdom.dat')
+    fftw.export_wisdom(w)
+    a = fftw.aligned((8, 8), dtype='d')
+    plan = fftw.rfftn(a)
+    plan()  # compile -> populates cache dir
+    fftw.import_wisdom(w)
+    fftw.forget_wisdom()
+
+
+def test_timelimit():
+    """set_timelimit is accepted and recorded (planner budget has no XLA
+    equivalent; reference: tests/test_fftw.py:146-158)."""
+    fftw.set_timelimit(0.01)
+    input_array = fftw.aligned((32, 32), dtype='d')
+    plan = fftw.rfftn(input_array, flags=(fftw.FFTW_PATIENT,))
+    plan()
+    fftw.cleanup()
+
+
+def test_aligned():
+    a = fftw.aligned((4, 4), n=32, dtype='d', fill=0)
+    assert fftw.get_alignment(a) == 32
+    b = fftw.aligned_like(a)
+    assert b.shape == a.shape and b.dtype == a.dtype

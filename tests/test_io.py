@@ -1,0 +1,123 @@
+"""IO tests.
+
+Port of the reference L3' strategy (reference: tests/test_io.py):
+write/read round-trips for 2D/3D, rank 0-2 tensors, domain variants, whole
+arrays + global slices, as_scalar, both backends, xdmf generation for both
+axis orders.
+"""
+import functools
+import os
+
+import numpy as np
+import pytest
+
+from mpi4py_fft_tpu import DistArray, HDF5File, NCFile, generate_xdmf
+
+try:
+    import h5py  # noqa: F401
+    HAS_H5PY = True
+except ImportError:
+    HAS_H5PY = False
+
+N = (12, 13, 14)
+doms = [
+    ((0, np.pi), (0, 2 * np.pi), (0, 3 * np.pi)),
+    (np.linspace(0, np.pi, N[0]),
+     np.linspace(0, 2 * np.pi, N[1]),
+     np.linspace(0, 3 * np.pi, N[2])),
+    None,
+]
+
+
+def _writers(tmp_path):
+    w = []
+    if HAS_H5PY:
+        w.append((HDF5File, str(tmp_path / "test.h5")))
+    w.append((NCFile, str(tmp_path / "test.nc")))
+    return w
+
+
+@pytest.mark.parametrize("idom", range(3))
+def test_write_read_3d(tmp_path, idom):
+    rng = np.random.default_rng(0)
+    dom = doms[idom]
+    for writer, fname in _writers(tmp_path):
+        u = DistArray(N, dtype='d', alignment=0)
+        u[:] = rng.random(N)
+        f = writer(fname, domain=dom, mode='w')
+        f.write(0, {'u': [u]})
+        f.write(1, {'u': [u]})
+
+        v = DistArray(N, dtype='d', alignment=2)  # different decomposition
+        v.read(fname, 'u', step=1)
+        assert np.allclose(np.asarray(v), np.asarray(u))
+        os.remove(fname)
+
+
+@pytest.mark.skipif(not HAS_H5PY, reason="h5py missing")
+def test_write_slices_and_xdmf(tmp_path):
+    rng = np.random.default_rng(1)
+    fname = str(tmp_path / "slices.h5")
+    u = DistArray(N, dtype='d', alignment=0)
+    u[:] = rng.random(N)
+    f = HDF5File(fname, domain=doms[0], mode='w')
+    for step in (0, 1):
+        f.write(step, {
+            'u': [u,
+                  (u, [slice(None), 4, slice(None)]),
+                  (u, [slice(None), 4, 4])],
+        })
+    import h5py
+    with h5py.File(fname, 'r') as h:
+        assert 'u/3D/0' in h
+        assert 'u/2D/slice_4_slice/0' in h
+        assert 'u/1D/slice_4_4/1' in h
+        got = h['u/2D/slice_4_slice/1'][...]
+    assert np.allclose(got, np.asarray(u)[:, 4, :])
+
+    generate_xdmf(fname)
+    generate_xdmf(fname, order='visit')
+    generate_xdmf(fname, periodic=False)
+    generate_xdmf(fname, periodic=(True, False, True))
+    assert os.path.exists(str(tmp_path / "slices.xdmf"))
+    assert os.path.exists(str(tmp_path / "slices_slice_4_slice.xdmf"))
+
+
+@pytest.mark.skipif(not HAS_H5PY, reason="h5py missing")
+def test_write_tensor_as_scalar(tmp_path):
+    rng = np.random.default_rng(2)
+    fname = str(tmp_path / "tensor.h5")
+    u = DistArray((3,) + N, dtype='d', alignment=0, rank=1)
+    u[...] = rng.random((3,) + N)
+    f = HDF5File(fname, mode='w')
+    f.write(0, {'v': [u]}, as_scalar=True)
+    import h5py
+    with h5py.File(fname, 'r') as h:
+        for k in range(3):
+            assert f'v{k}/3D/0' in h
+            assert np.allclose(h[f'v{k}/3D/0'][...], np.asarray(u)[k])
+
+
+@pytest.mark.skipif(not HAS_H5PY, reason="h5py missing")
+def test_darray_write_read_roundtrip(tmp_path):
+    rng = np.random.default_rng(3)
+    fname = str(tmp_path / "rw.h5")
+    u = DistArray(N, dtype='d', alignment=1)
+    u[:] = rng.random(N)
+    u.write(fname, 'field', 0)
+    v = DistArray(N, dtype='d', alignment=0)
+    v.read(fname, 'field', 0)
+    assert np.allclose(np.asarray(u), np.asarray(v))
+
+
+def test_ncfile_slices(tmp_path):
+    rng = np.random.default_rng(4)
+    fname = str(tmp_path / "slices.nc")
+    u = DistArray(N, dtype='d', alignment=0)
+    u[:] = rng.random(N)
+    f = NCFile(fname, mode='w')
+    f.write(0, {'u': [u, (u, [slice(None), 4, slice(None)])]})
+    f.write(1, {'u': [u, (u, [slice(None), 4, slice(None)])]})
+    v = DistArray(N, dtype='d', alignment=2)
+    v.read(fname, 'u', step=1)
+    assert np.allclose(np.asarray(v), np.asarray(u))

