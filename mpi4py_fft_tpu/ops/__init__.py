@@ -7,8 +7,9 @@ buffers, planned-FFT factory and the wisdom (compilation cache) surface.
 from ..utils import aligned, aligned_like, get_alignment
 from .kinds import *          # noqa: F401,F403  enums + flag_dict
 from .kinds import flag_dict  # noqa: F401
-from .plan import (FFT, get_planned_FFT, fftlib, export_wisdom,   # noqa: F401
-                   import_wisdom, forget_wisdom, set_timelimit, cleanup)
+from .plan import (FFT, get_planned_FFT, fftlib, get_fftw_lib,   # noqa: F401
+                   export_wisdom, import_wisdom, forget_wisdom,
+                   set_timelimit, cleanup)
 from .xfftn import (fftn, ifftn, rfftn, irfftn, dctn, idctn, dstn,  # noqa: F401
                     idstn, hfftn, ihfftn, get_normalization, inverse,
                     dct_type, idct_type, dst_type, idst_type)

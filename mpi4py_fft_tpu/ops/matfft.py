@@ -41,6 +41,56 @@ from jax import lax
 
 _BASE_RADIX = 32
 
+# Matmul precision for the radix stages.  On TPU: 'highest' = 6-pass bf16
+# (~f32-exact), 'high' = 3-pass (~1e-6 rel err, 2x faster), 'default' =
+# 1-pass bf16 (too lossy for spectral work).  CPU ignores this (always
+# full precision).  f64 always uses HIGHEST.
+import os as _os
+from jax import lax as _lax
+_PRECISION = {
+    'highest': _lax.Precision.HIGHEST,
+    'high': _lax.Precision.HIGH,
+    'default': _lax.Precision.DEFAULT,
+}[_os.environ.get('MPI4PY_FFT_TPU_PRECISION', 'highest')]
+
+
+def set_precision(name):
+    """Select f32 matmul precision: 'highest' | 'high' | 'default'."""
+    global _PRECISION
+    _PRECISION = {'highest': _lax.Precision.HIGHEST,
+                  'high': _lax.Precision.HIGH,
+                  'default': _lax.Precision.DEFAULT}[name]
+
+
+def _prec(dtype):
+    return _lax.Precision.HIGHEST if np.dtype(dtype).itemsize == 8 \
+        else _PRECISION
+
+
+# Pallas fused-kernel dispatch: 'auto' uses the fused VMEM kernel on a
+# single TPU chip (GSPMD cannot partition a pallas_call, so sharded
+# multi-chip pipelines stay on the einsum engine until the shard_map path
+# lands); 'on'/'off' force it.
+_PALLAS_MODE = _os.environ.get('MPI4PY_FFT_TPU_PALLAS', 'auto')
+
+
+def set_pallas_mode(mode):
+    global _PALLAS_MODE
+    assert mode in ('auto', 'on', 'off')
+    _PALLAS_MODE = mode
+
+
+def _use_pallas(N):
+    if _PALLAS_MODE == 'off':
+        return False
+    from . import pallas_fft
+    if not pallas_fft.supported_length(N):
+        return False
+    if _PALLAS_MODE == 'on':
+        return True
+    import jax
+    return jax.default_backend() == 'tpu' and jax.device_count() == 1
+
 
 # ---------------------------------------------------------------------------
 # constants (numpy, cached, f64-built)
@@ -132,7 +182,7 @@ def _pmul(a, b):
 def _pmatstage(p, W):
     """Planar radix stage: p (2, ..., n, t) contracted with planar W
     (2, n, k) over n -> (2, ..., k, t).  4 real MXU einsums."""
-    prec = lax.Precision.HIGHEST
+    prec = _prec(p.dtype)
     xr, xi = p[0], p[1]
     Wr, Wi = W[0], W[1]
     rr = jnp.einsum('...nt,nk->...kt', xr, Wr, precision=prec)
@@ -144,7 +194,7 @@ def _pmatstage(p, W):
 
 def _pmatmul_last(p, W):
     """Planar contraction of the last axis with planar W (2, N, K)."""
-    prec = lax.Precision.HIGHEST
+    prec = _prec(p.dtype)
     xr, xi = p[0], p[1]
     Wr, Wi = W[0], W[1]
     rr = jnp.matmul(xr, Wr, precision=prec)
@@ -166,6 +216,9 @@ def _fft_last_p(p, sign):
     N = p.shape[-1]
     if N == 1:
         return p
+    if _use_pallas(N):
+        from . import pallas_fft
+        return pallas_fft.fft2stage_p(p, sign)
     dtype_str = np.dtype(p.dtype).name
     factors = _factorize(N)
     if len(factors) == 1:
@@ -199,17 +252,84 @@ def _bluestein_p(p, sign):
     return _pmul(conv[..., :N], w)
 
 
+# Mid-axis strategy: 'moveaxis' transposes the transform axis to the end
+# (two full HBM transposes per non-final axis); 'einsum' contracts the
+# axis in place — the (N1, N2) split of a middle axis is metadata-only,
+# and only the final k1<->k2 swap moves data.
+_MID_AXIS = _os.environ.get('MPI4PY_FFT_TPU_MID_AXIS', 'einsum')
+
+
+def set_mid_axis_strategy(mode):
+    global _MID_AXIS
+    assert mode in ('moveaxis', 'einsum')
+    _MID_AXIS = mode
+
+
+def _pmatstage_mid(p, W, axis):
+    """Planar contraction of p's ``axis`` (in planar coords) with planar
+    W (2, n, k), output k at the same position."""
+    prec = _prec(p.dtype)
+    nd = p.ndim
+    sub = 'abcdefgh'[:nd - 1]
+    lhs = sub[:axis - 1] + 'n' + sub[axis - 1:nd - 2]
+    out = sub[:axis - 1] + 'k' + sub[axis - 1:nd - 2]
+    expr = f'{lhs},nk->{out}'
+    xr, xi = p[0], p[1]
+    Wr, Wi = W[0], W[1]
+    rr = jnp.einsum(expr, xr, Wr, precision=prec)
+    ii = jnp.einsum(expr, xi, Wi, precision=prec)
+    ri = jnp.einsum(expr, xr, Wi, precision=prec)
+    ir = jnp.einsum(expr, xi, Wr, precision=prec)
+    return jnp.stack([rr - ii, ri + ir])
+
+
+def _fft_axis_einsum(p, axis, sign):
+    """In-place-axis planar DFT: no moveaxis; recursion splits the axis
+    with metadata-only reshapes."""
+    nd = p.ndim
+    ax = 1 + axis                  # planar coords
+    N = p.shape[ax]
+    if N == 1:
+        return p
+    dtype_str = np.dtype(p.dtype).name
+    factors = _factorize(N)
+    if len(factors) == 1 and factors[0] <= _BASE_RADIX:
+        return _pmatstage_mid(p, jnp.asarray(_dft_matrix(N, sign, dtype_str)),
+                              ax)
+    if len(factors) == 1:
+        # Bluestein needs the axis last; fall back to moveaxis
+        p2 = jnp.moveaxis(p, ax, -1)
+        y = _bluestein_p(p2, sign)
+        return jnp.moveaxis(y, -1, ax)
+    N1 = factors[0]
+    N2 = N // N1
+    shape = p.shape
+    x = p.reshape(shape[:ax] + (N1, N2) + shape[ax + 1:])   # metadata only
+    a = _pmatstage_mid(x, jnp.asarray(_dft_matrix(N1, sign, dtype_str)), ax)
+    tw = jnp.asarray(_twiddle(N1, N2, sign, dtype_str))
+    tw = tw.reshape((2,) + (1,) * (ax - 1) + (N1, N2)
+                    + (1,) * (len(shape) - ax - 1))
+    a = _pmul(a, tw)
+    # recurse on the N2 sub-axis (complex coordinate axis+1 of ``a``)
+    c = _fft_axis_einsum(a, axis + 1, sign)
+    # X[k2*N1 + k1]: swap the two split axes, then flatten
+    c = jnp.swapaxes(c, ax, ax + 1)
+    return c.reshape(shape[:ax] + (N,) + shape[ax + 1:])
+
+
 def fft1d_p(p, axis, forward=True):
     """Unnormalized planar c2c transform along ``axis`` of the complex
     array (axis counted WITHOUT the leading planar dim)."""
     sign = -1 if forward else +1
     nd = p.ndim - 1                 # complex rank
     axis = axis % nd
-    if axis != nd - 1:
-        p = jnp.moveaxis(p, 1 + axis, -1)
-        y = _fft_last_p(p, sign)
-        return jnp.moveaxis(y, -1, 1 + axis)
-    return _fft_last_p(p, sign)
+    if axis == nd - 1:
+        return _fft_last_p(p, sign)
+    if _MID_AXIS == 'einsum':
+        return _fft_axis_einsum(p, axis, sign)
+    p = jnp.moveaxis(p, 1 + axis, -1)
+    y = _fft_last_p(p, sign)
+    return jnp.moveaxis(y, -1, 1 + axis)
 
 
 def fftn_p(p, axes, forward=True):

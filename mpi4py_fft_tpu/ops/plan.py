@@ -145,6 +145,16 @@ fftlib['F'] = FFT
 fftlib['D'] = FFT
 
 
+def get_fftw_lib(dtype):
+    """Return the transform implementation for a precision, or None
+    (reference: fftw/factory.py:7-42).  'G' (long double) has no TPU tier."""
+    char = np.dtype(dtype).char.upper() if not isinstance(dtype, str) \
+        else dtype.upper()
+    if char in ('G',):
+        return None
+    return fftlib.get(char[:1] if char not in 'FD' else char)
+
+
 def get_planned_FFT(input_array, output_array, axes=(-1,), kind=C2C_FORWARD,
                     threads=1, flags=(0,), normalization=1.0):
     """Return a planned :class:`FFT` instance

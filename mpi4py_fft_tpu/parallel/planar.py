@@ -39,7 +39,7 @@ class PlanarPFFT(object):
     """
 
     def __init__(self, comm=None, shape=None, axes=None, dtype='f',
-                 grid=None):
+                 grid=None, donate=False):
         shape = tuple(int(s) for s in shape)
         ndim = len(shape)
         if axes is None:
@@ -82,8 +82,15 @@ class PlanarPFFT(object):
         Mtot = float(np.prod([shape[a] for a in axes]))
         self._norm = 1.0 / Mtot
 
-        self._jit_forward = jax.jit(self._forward_impl, static_argnums=(1,))
-        self._jit_backward = jax.jit(self._backward_impl, static_argnums=(1,))
+        # donate=True reuses the input buffer's HBM for intermediates
+        # (in-place semantics like FFTW_DESTROY_INPUT) — halves the
+        # footprint for chip-filling transforms; the caller's input array
+        # is invalidated after the call.
+        dn = (0,) if donate else ()
+        self._jit_forward = jax.jit(self._forward_impl, static_argnums=(1,),
+                                    donate_argnums=dn)
+        self._jit_backward = jax.jit(self._backward_impl, static_argnums=(1,),
+                                     donate_argnums=dn)
 
     # ------------------------------------------------------------------
     def _forward_impl(self, x, normalize):
