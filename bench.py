@@ -16,6 +16,9 @@ import time
 
 # real-chip precision tier: f32 (f64 is emulated on TPU)
 os.environ.setdefault('MPI4PY_FFT_TPU_X64', '0')
+# measured on v5e: the einsum engine currently beats the fused pallas
+# kernel (see scripts/tpu_experiments.py); keep the fast known-good path
+os.environ.setdefault('MPI4PY_FFT_TPU_PALLAS', 'off')
 
 import numpy as np
 
@@ -31,8 +34,8 @@ def main():
     jax.config.update('jax_compilation_cache_dir', cache)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
 
-    n = int(os.environ.get('BENCH_N', 512))
-    reps = int(os.environ.get('BENCH_REPS', 5))
+    n = int(os.environ.get('BENCH_N', 256))
+    reps = int(os.environ.get('BENCH_REPS', 10))
     N = (n, n, n)
     ntot = float(np.prod(N))
     flops = 5.0 * ntot * np.log2(ntot)  # 5N*log2(N) model (BASELINE.json)

@@ -153,20 +153,24 @@ def _apply_basis(x, B, axis):
 
 def _r2hc_1d(x, axis):
     """FFTW halfcomplex forward along one axis: output layout
-    [r0..r_{N/2}, i_{(N+1)//2-1}..i_1] (FFTW halfcomplex format)."""
+    [r0..r_{N/2}, i_{(N+1)//2-1}..i_1] (FFTW halfcomplex format).
+    Complex-free: routed through the planar engine."""
+    from . import matfft
     N = x.shape[axis]
-    F = jnp.fft.rfft(x, axis=axis)
-    re = jnp.take(F.real, jnp.arange(N // 2 + 1), axis=axis)
+    P = matfft.rfftn_p(x, (axis,))        # planar (2, ..., N//2+1)
+    re = P[0]
     n_im = (N + 1) // 2 - 1
     if n_im > 0:
         idx = jnp.arange(n_im, 0, -1)
-        im = jnp.take(F.imag, idx, axis=axis)
+        im = jnp.take(P[1], idx, axis=axis)
         return jnp.concatenate([re, im], axis=axis)
     return re
 
 
 def _hc2r_1d(x, axis):
-    """FFTW halfcomplex unnormalized inverse along one axis."""
+    """FFTW halfcomplex unnormalized inverse along one axis.
+    Complex-free: routed through the planar engine."""
+    from . import matfft
     N = x.shape[axis]
     re = jnp.take(x, jnp.arange(N // 2 + 1), axis=axis)
     n_im = (N + 1) // 2 - 1
@@ -178,8 +182,8 @@ def _hc2r_1d(x, axis):
         im = jnp.pad(im, pad)
     else:
         im = jnp.zeros_like(re)
-    F = re + 1j * im
-    return jnp.fft.irfft(F, n=N, axis=axis, norm="forward")
+    P = jnp.stack([re, im])
+    return matfft.irfftn_p(P, (axis,), N)
 
 
 def r2r(x, axes, kinds):

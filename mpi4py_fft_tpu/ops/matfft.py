@@ -99,7 +99,13 @@ def _use_pallas(N):
 @functools.lru_cache(maxsize=None)
 def _factorize(N):
     """Factor N into radices <= _BASE_RADIX (largest first); a leftover
-    prime > _BASE_RADIX is returned as a single (Bluestein) factor."""
+    prime > _BASE_RADIX is returned as a single (Bluestein) factor.
+
+    Balanced radices (e.g. 1024 -> 32*32) measure faster through XLA than
+    lane-128-preserving splits (e.g. 8*128) on TPU — XLA's relayout of the
+    (B, N1, N2) view beats the degenerate small-K matmuls of a skewed
+    split.  The fused Pallas kernel uses its own S*128 decomposition.
+    """
     factors = []
     m = N
     for p in range(2, _BASE_RADIX + 1):

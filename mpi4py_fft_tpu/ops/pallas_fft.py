@@ -1,24 +1,27 @@
 """Pallas TPU kernel: fused two-stage planar FFT along the last axis.
 
-The jnp engine (ops/matfft.py) expresses an N = N1*N2 transform as two
-MXU einsum stages with a twiddle in between; for arrays larger than VMEM,
-XLA materializes every intermediate in HBM, so one 1-D transform costs
-~6 HBM passes.  This kernel processes a tile of batch rows entirely in
-VMEM — load once, run stage-1 matmuls, twiddle, stage-2 matmuls, permute,
-store once — cutting HBM traffic to the 2 unavoidable passes.
+The jnp engine (ops/matfft.py) expresses an N-point transform as matmul
+stages with twiddles in between; for arrays larger than VMEM, XLA
+materializes every intermediate in HBM, so one 1-D transform costs ~6 HBM
+passes.  This kernel runs the whole transform for a tile of batch rows in
+one VMEM residency — load once, stage-1 radix combine, twiddle, stage-2
+MXU matmul, output permute, store once — i.e. the 2 unavoidable HBM passes.
 
-Layout/shape contract:
-  input  p: (2, B, N) real (planar complex, batch-flattened, N last)
-  output   : (2, B, N)
-  N = N1 * N2 with N1, N2 <= 128 (one fused level; larger N falls back to
-  the jnp engine which recurses).
+Decomposition: N = S * 128 with n = n1*128 + n2 (n1 < S slow, n2 < 128
+lane-minor) and output X[k2*S + k1]:
 
-Per-tile algorithm (planar arithmetic, all on the MXU/VPU):
-  x[b, n1*N2 + n2]  --view-->  x[b, n1, n2]
-  a[k1, b*n2] = sum_n1 W1[k1, n1] x[b, n1, n2]          (stage-1 matmuls)
-  t[k1, b, n2] = a * tw[k1, n2]                          (twiddle, VPU)
-  c[k1*b, k2] = sum_n2 t[k1, b, n2] W2[n2, k2]           (stage-2 matmuls)
-  X[b, k2*N1 + k1] = c[k1, b, k2]                        (VMEM permute)
+    a[b, k1, n2] = sum_n1 W_S[k1, n1] x[b, n1, n2]     (stage 1)
+    t[b, k1, n2] = a * exp(sign*2i*pi*k1*n2/N)          (twiddle)
+    c[b, k1, k2] = sum_n2 t[b, k1, n2] W_128[n2, k2]    (stage 2)
+    X[b, k2*S + k1] = c[b, k1, k2]
+
+Mosaic-legality (probed on the target toolchain): the only relayouts used
+are lane-preserving reshapes ((B,N)<->(B,S,128), (B,S,128)<->(B*S,128)),
+last-two-dim swaps, and leading-dim transposes; stage 1 is an unrolled
+VPU multiply-add over the S slices (S <= 8), stage 2 a (B*S,128)@(128,128)
+MXU dot — the shape the systolic array is built for.  The final
+(k2, k1)-major block leaves the kernel as (B, 128, S) and is flattened to
+(B, N) by a metadata-only XLA reshape.
 """
 import functools
 
@@ -30,7 +33,12 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .matfft import _dft_matrix, _twiddle, _factorize, _prec as _mat_prec
+from .matfft import _dft_matrix, _twiddle, _prec as _mat_prec
+
+__all__ = ['fft2stage_p', 'supported_length']
+
+_LANE = 128
+_MAX_S = 8
 
 
 def _prec(dtype):
@@ -38,105 +46,112 @@ def _prec(dtype):
     p = _mat_prec(dtype)
     return lax.Precision.HIGHEST if p == lax.Precision.HIGH else p
 
-__all__ = ['fft2stage_p', 'supported_length']
-
-_MAX_RADIX = 128
-
 
 def supported_length(N):
-    """True if the fused kernel handles length N (N = N1*N2, each <= 128)."""
-    fs = _factorize(N)
-    if len(fs) == 2 and all(f <= _MAX_RADIX for f in fs):
-        return True
-    if len(fs) == 1 and fs[0] <= _MAX_RADIX:
-        return False  # single matmul — jnp engine is already one pass
-    return False
+    """True if the fused kernel handles length N (N = S*128, S <= 8)."""
+    return N % _LANE == 0 and 1 <= N // _LANE <= _MAX_S
 
 
-def _kernel(x_ref, w1_ref, tw_ref, w2_ref, o_ref, *, N1, N2, prec):
-    """One batch tile: full fused transform in VMEM.
+def _kernel(x_ref, tw_ref, w2_ref, o_ref, *, S, W1, prec):
+    """One batch tile entirely in VMEM.
 
-    Mosaic-friendly formulation: every relayout is either a metadata-free
-    C-order reshape or a swap of the last two dims (sublane/lane
-    transpose), and every contraction a 2-D matmul on the MXU.
+    x_ref: (2, Bt, S, 128);  o_ref: (2, Bt, 128, S).
+    W1 (2, S, S) entries are baked in as static python scalars;
+    tw_ref holds the planar twiddle (2, S, 128), w2_ref the planar
+    (2, 128, 128) DFT matrix.
     """
     Bt = x_ref.shape[1]
+    xr = x_ref[0]                          # (Bt, S, 128)
+    xi = x_ref[1]
+    w2r, w2i = w2_ref[0], w2_ref[1]        # (128, 128)
+
+    # stage 1 + twiddle, unrolled over k1: VPU multiply-adds on (Bt, 128)
+    t_r = []
+    t_i = []
+    for k1 in range(S):
+        ar = None
+        ai = None
+        for n1 in range(S):
+            wr = float(W1[0, k1, n1])
+            wi = float(W1[1, k1, n1])
+            xr_s = xr[:, n1, :]
+            xi_s = xi[:, n1, :]
+            pr = wr * xr_s - wi * xi_s
+            pi = wr * xi_s + wi * xr_s
+            ar = pr if ar is None else ar + pr
+            ai = pi if ai is None else ai + pi
+        twr = tw_ref[0, k1, :]                              # (128,)
+        twi = tw_ref[1, k1, :]
+        t_r.append(ar * twr[None, :] - ai * twi[None, :])
+        t_i.append(ar * twi[None, :] + ai * twr[None, :])
+    tr = jnp.stack(t_r, axis=1)            # (Bt, S, 128) = t[b, k1, n2]
+    ti = jnp.stack(t_i, axis=1)
+
+    # stage 2: (Bt*S, 128) @ (128, 128) on the MXU
+    tr2 = tr.reshape(Bt * S, _LANE)
+    ti2 = ti.reshape(Bt * S, _LANE)
 
     def dot(a, b):
-        return jnp.dot(a, b, precision=prec,
-                       preferred_element_type=a.dtype)
+        return jnp.dot(a, b, precision=prec, preferred_element_type=a.dtype)
 
-    # planar inputs; W1[n1, k1], W2[n2, k2] symmetric DFT matrices
-    xr = x_ref[0].reshape(Bt, N1, N2)     # x[b, n1, n2] (free)
-    xi = x_ref[1].reshape(Bt, N1, N2)
-    w1r, w1i = w1_ref[0], w1_ref[1]
-    w2r, w2i = w2_ref[0], w2_ref[1]
-    twr = tw_ref[0]                       # tw[k1, n2]
-    twi = tw_ref[1]
+    cr = dot(tr2, w2r) - dot(ti2, w2i)     # (Bt*S, 128) = c[b, k1, k2]
+    ci = dot(tr2, w2i) + dot(ti2, w2r)
 
-    # stage 1: contract n1 -> a[b, n2, k1]
-    xtr = jnp.swapaxes(xr, -1, -2).reshape(Bt * N2, N1)   # x[b, n2, n1]
-    xti = jnp.swapaxes(xi, -1, -2).reshape(Bt * N2, N1)
-    ar = dot(xtr, w1r) - dot(xti, w1i)                    # (Bt*N2, k1)
-    ai = dot(xtr, w1i) + dot(xti, w1r)
+    # emit c[b, k1, k2] in block layout; the host-side wrapper applies
+    # the X[b, k2*S + k1] ordering with one XLA transpose (a lane-minor
+    # S output block here would tile-pad VMEM by 128/S and OOM)
+    o_ref[0] = cr.reshape(Bt, S, _LANE)
+    o_ref[1] = ci.reshape(Bt, S, _LANE)
 
-    # twiddle (k1, n2) applied in (n2, k1) orientation
-    twTr = jnp.swapaxes(twr, -1, -2)[None]                # (1, N2, N1)
-    twTi = jnp.swapaxes(twi, -1, -2)[None]
-    a3r = ar.reshape(Bt, N2, N1)
-    a3i = ai.reshape(Bt, N2, N1)
-    t3r = a3r * twTr - a3i * twTi
-    t3i = a3r * twTi + a3i * twTr
 
-    # stage 2: contract n2 -> c[b, k1, k2]
-    t2r = jnp.swapaxes(t3r, -1, -2).reshape(Bt * N1, N2)  # t[b, k1, n2]
-    t2i = jnp.swapaxes(t3i, -1, -2).reshape(Bt * N1, N2)
-    cr = dot(t2r, w2r) - dot(t2i, w2i)                    # (Bt*N1, k2)
-    ci = dot(t2r, w2i) + dot(t2i, w2r)
+import os as _os
 
-    # X[b, k2*N1 + k1] = c[b, k1, k2] -> swap last two dims, flatten
-    o_ref[0] = jnp.swapaxes(cr.reshape(Bt, N1, N2), -1, -2).reshape(Bt, N1 * N2)
-    o_ref[1] = jnp.swapaxes(ci.reshape(Bt, N1, N2), -1, -2).reshape(Bt, N1 * N2)
+_VMEM_BUDGET = int(_os.environ.get('MPI4PY_FFT_TPU_PALLAS_VMEM_KB',
+                                   '1024')) * 1024
 
 
 def _pick_tile(B, N, itemsize):
-    """Batch tile size: keep ~<= 6 MB of live VMEM (x, a, t, c planar)."""
-    budget = 6 * 1024 * 1024
-    per_row = 2 * N * itemsize * 4      # ~4 live planar row copies
-    bt = max(8, min(B, budget // max(per_row, 1)))
-    # multiple of 8 (f32 sublane); also make it divide B if possible
+    """Batch tile bounded by the VMEM budget.  Each batch row occupies a
+    full (8, 128) sublane tile per planar part regardless of S (<= 8), and
+    ~6 padded copies are live (double-buffered in/out + temps); the Mosaic
+    scoped-vmem limit on this generation is 16 MB."""
+    per_row = 2 * 8 * _LANE * itemsize * 6
+    bt = max(8, min(B, _VMEM_BUDGET // max(per_row, 1)))
     bt = max(8, (bt // 8) * 8)
     while B % bt and bt > 8:
         bt -= 8
-    return bt if B % bt == 0 else B  # fall back to one tile
+    return bt if B % bt == 0 else B
 
 
 @functools.partial(jax.jit, static_argnames=('sign', 'interpret'))
-def _call(p, w1, tw, w2, sign, interpret=False):
+def _call(p, w2, sign, interpret=False):
     _, B, N = p.shape
-    N1 = w1.shape[-1]
-    N2 = w2.shape[-1]
+    S = N // _LANE
+    dtype_str = np.dtype(p.dtype).name
+    W1 = _dft_matrix(S, sign, dtype_str)           # numpy, static
+    tw = jnp.asarray(_twiddle(S, _LANE, sign, dtype_str))
     Bt = _pick_tile(B, N, p.dtype.itemsize)
     grid = (B // Bt,)
-    kern = functools.partial(_kernel, N1=N1, N2=N2, prec=_prec(p.dtype))
-    return pl.pallas_call(
+    kern = functools.partial(_kernel, S=S, W1=W1, prec=_prec(p.dtype))
+    x4 = p.reshape(2, B, S, _LANE)                 # metadata-only
+    out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct(p.shape, p.dtype),
+        out_shape=jax.ShapeDtypeStruct((2, B, S, _LANE), p.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((2, Bt, N), lambda i: (0, i, 0),
+            pl.BlockSpec((2, Bt, S, _LANE), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, N1, N1), lambda i: (0, 0, 0),
+            pl.BlockSpec((2, S, _LANE), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, N1, N2), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, N2, N2), lambda i: (0, 0, 0),
+            pl.BlockSpec((2, _LANE, _LANE), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((2, Bt, N), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((2, Bt, S, _LANE), lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(p, w1, tw, w2)
+    )(x4, tw, w2)
+    # X[b, k2*S + k1] = c[b, k1, k2]: one XLA transpose + free reshape
+    return jnp.swapaxes(out, -1, -2).reshape(2, B, N)
 
 
 def fft2stage_p(p, sign, interpret=False):
@@ -148,13 +163,9 @@ def fft2stage_p(p, sign, interpret=False):
     N = shape[-1]
     if jax.default_backend() != 'tpu':
         interpret = True        # pallas TPU kernels interpret elsewhere
-    N1, N2 = _factorize(N)
     dtype_str = np.dtype(p.dtype).name
-    # W1[k1, n1] (the _dft_matrix is symmetric), W2[n2, k2], tw[k1, n2]
-    w1 = jnp.asarray(_dft_matrix(N1, sign, dtype_str))
-    w2 = jnp.asarray(_dft_matrix(N2, sign, dtype_str))
-    tw = jnp.asarray(_twiddle(N1, N2, sign, dtype_str))
+    w2 = jnp.asarray(_dft_matrix(_LANE, sign, dtype_str))
     B = int(np.prod(shape[1:-1])) if len(shape) > 2 else 1
     p2 = p.reshape(2, B, N)
-    y = _call(p2, w1, tw, w2, sign, interpret=interpret)
+    y = _call(p2, w2, sign, interpret=interpret)
     return y.reshape(shape)
