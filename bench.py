@@ -27,7 +27,6 @@ def main():
     import jax
     import jax.numpy as jnp
     from mpi4py_fft_tpu.parallel.planar import PlanarPFFT
-    from mpi4py_fft_tpu.ops import matfft
 
     # wisdom: persist compiled plans across bench runs
     cache = os.environ.get('BENCH_CACHE', '/tmp/mpi4py_fft_tpu_bench.xla_cache')

@@ -1,0 +1,125 @@
+"""Spectral DNS solver on the planar (TPU-native) pipeline.
+
+Same Taylor-Green/RK4 workload as spectral_dns_solver.py (reference:
+examples/spectral_dns_solver.py) but with every array real-typed (planar
+complex), so the full time step — 9 r2c/c2r pipelines + spectral algebra —
+runs on TPU chips without complex-dtype support as ONE jitted XLA program.
+
+Run on the default platform (TPU if available):
+    MPI4PY_FFT_TPU_EXAMPLE_PLATFORM=native python examples/spectral_dns_planar.py 5
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+if os.environ.get('MPI4PY_FFT_TPU_EXAMPLE_PLATFORM', 'cpu8') == 'cpu8':
+    _fl = os.environ.get('XLA_FLAGS', '')
+    if 'xla_force_host_platform_device_count' not in _fl:
+        os.environ['XLA_FLAGS'] = (
+            _fl + ' --xla_force_host_platform_device_count=8').strip()
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+else:
+    os.environ.setdefault('MPI4PY_FFT_TPU_X64', '0')
+
+from time import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mpi4py_fft_tpu.parallel.planar import PlanarPFFT
+
+
+def make_solver(N=(64, 64, 64), L=(2 * np.pi, 4 * np.pi, 4 * np.pi),
+                nu=0.000625, dt=0.01, dtype='d'):
+    pfft = PlanarPFFT(None, N, dtype=dtype)
+    rdt = pfft.rdtype
+
+    X = np.ogrid[tuple(slice(0, n) for n in N)]
+    X = [x * L[i] / N[i] for i, x in enumerate(X)]
+
+    k = [np.fft.fftfreq(n, 1. / n) for n in N[:-1]]
+    k.append(np.fft.rfftfreq(N[-1], 1. / N[-1]))
+    Ks = np.meshgrid(*k, indexing='ij', sparse=True)
+    Lp = 2 * np.pi / np.asarray(L)
+    spec = pfft.global_shape(True)[1:]
+    K = np.array([np.broadcast_to(Ks[i] * Lp[i], spec) for i in range(3)],
+                 dtype=rdt)
+    K2 = np.sum(K * K, 0)
+    KoK2 = (K / np.where(K2 == 0, 1, K2)).astype(rdt)
+    Kj, K2j, KoK2j = jnp.asarray(K), jnp.asarray(K2), jnp.asarray(KoK2)
+
+    a_rk = [1. / 6., 1. / 3., 1. / 3., 1. / 6.]
+    b_rk = [0.5, 0.5, 1.]
+
+    fwd = lambda u: pfft.forward_fn(u)           # real -> planar
+    bck = lambda p: pfft.backward_fn(p)          # planar -> real
+
+    def pmul_i(K_ax, p):
+        """planar multiply by (i*K): (re, im) -> (-K*im, K*re)."""
+        return jnp.stack([-K_ax * p[1], K_ax * p[0]])
+
+    def compute_rhs(U_hat):
+        u = [bck(U_hat[j]) for j in range(3)]
+        w = [bck(pmul_i(Kj[1], U_hat[2]) - pmul_i(Kj[2], U_hat[1])),
+             bck(pmul_i(Kj[2], U_hat[0]) - pmul_i(Kj[0], U_hat[2])),
+             bck(pmul_i(Kj[0], U_hat[1]) - pmul_i(Kj[1], U_hat[0]))]
+        rhs = jnp.stack([fwd(u[1] * w[2] - u[2] * w[1]),
+                         fwd(u[2] * w[0] - u[0] * w[2]),
+                         fwd(u[0] * w[1] - u[1] * w[0])])
+        P_hat = jnp.sum(rhs * KoK2j[:, None], 0)
+        rhs = rhs - P_hat * Kj[:, None]
+        rhs = rhs - nu * K2j * U_hat
+        return rhs
+
+    @jax.jit
+    def step(U_hat):
+        U_hat0 = U_hat
+        U_hat1 = U_hat
+        for rk in range(4):
+            dU = compute_rhs(U_hat)
+            if rk < 3:
+                U_hat = U_hat0 + b_rk[rk] * dt * dU
+            U_hat1 = U_hat1 + a_rk[rk] * dt * dU
+        return U_hat1
+
+    U0 = np.zeros((3,) + tuple(N), dtype=rdt)
+    U0[0] = np.sin(X[0]) * np.cos(X[1]) * np.cos(X[2])
+    U0[1] = -np.cos(X[0]) * np.sin(X[1]) * np.cos(X[2])
+    U_hat = jnp.stack([fwd(jnp.asarray(U0[i])) for i in range(3)])
+
+    def energy(U_hat):
+        U = jnp.stack([bck(U_hat[i]) for i in range(3)])
+        return float(np.asarray(jax.device_get(
+            jnp.sum(U * U))) / N[0] / N[1] / N[2] / 2)
+
+    return pfft, U_hat, step, energy
+
+
+def run(N=(64, 64, 64), T=0.1, dt=0.01, dtype='d', verbose=True):
+    pfft, U_hat, step, energy = make_solver(N=N, dt=dt, dtype=dtype)
+    t, nsteps = 0.0, 0
+    t0 = time()
+    while t < T - 1e-8:
+        t += dt
+        nsteps += 1
+        U_hat = step(U_hat)
+    # scalar fetch forces the queue to drain (tunneled platforms)
+    float(np.asarray(jax.device_get(U_hat.ravel()[:1])))
+    k = energy(U_hat)
+    if verbose:
+        print(f'Time = {time() - t0:.3f} s  ({nsteps} steps)')
+        print(f'Energy = {k:.12f}')
+    return k
+
+
+if __name__ == '__main__':
+    M = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    n = 2 ** M
+    dtype = os.environ.get('DNS_DTYPE', 'd')
+    k = run(N=(n, n, n), dtype=dtype)
+    if n == 64 and dtype == 'd':
+        assert round(k - 0.124953117517, 7) == 0, k
+        print('energy check PASSED')

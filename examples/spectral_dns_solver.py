@@ -33,7 +33,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mpi4py_fft_tpu import PFFT, newDistArray
+from mpi4py_fft_tpu import PFFT
 
 
 def make_solver(N=(64, 64, 64), L=(2 * np.pi, 4 * np.pi, 4 * np.pi),

@@ -17,8 +17,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from . import ops as fftw
-from .ops import core as _core
-from .ops.kinds import C2C_FORWARD, C2C_BACKWARD, R2C, C2R
 
 __all__ = ['FFT', 'FFTBase']
 

@@ -29,6 +29,59 @@ from .comm import COMM_WORLD
 __all__ = ['PlanarPFFT']
 
 
+def _axslice(p, ax, sl):
+    s = [slice(None)] * p.ndim
+    s[ax] = sl
+    return tuple(s)
+
+
+def truncate_planar(p, ax, Nt, hermitian):
+    """Planar spectral truncation along planar-coords axis ``ax`` to length
+    ``Nt`` (semantics of reference libfft.py:263-284 on planar data)."""
+    if hermitian:
+        t = p[_axslice(p, ax, slice(0, Nt))]
+        if Nt % 2 == 0:
+            re = _axslice(t, ax, slice(Nt - 1, Nt))[1:]  # index within part
+            t = t.at[(0,) + re].multiply(2.0)
+            t = t.at[(1,) + re].set(0.0)
+        return t
+    Np = p.shape[ax]
+    head = p[_axslice(p, ax, slice(0, Nt // 2 + 1))]
+    tail = p[_axslice(p, ax, slice(Np - Nt // 2, Np))]
+    sh = list(p.shape)
+    sh[ax] = Nt
+    t = jnp.zeros(sh, dtype=p.dtype)
+    t = t.at[_axslice(t, ax, slice(0, Nt // 2 + 1))].set(head)
+    t = t.at[_axslice(t, ax, slice(Nt - Nt // 2, Nt))].add(tail)
+    return t
+
+
+def pad_planar(p, ax, Np, hermitian):
+    """Planar spectral zero-padding along planar-coords axis ``ax`` to
+    length ``Np`` with the symmetric Fourier interpolator for even N
+    (semantics of reference libfft.py:286-311 on planar data)."""
+    Nt = p.shape[ax]
+    sh = list(p.shape)
+    sh[ax] = Np
+    out = jnp.zeros(sh, dtype=p.dtype)
+    if hermitian:
+        out = out.at[_axslice(out, ax, slice(0, Nt))].set(p)
+        if Nt % 2 == 0:
+            e = _axslice(out, ax, slice(Nt - 1, Nt))[1:]
+            out = out.at[(0,) + e].multiply(0.5)
+            out = out.at[(1,) + e].set(0.0)
+        return out
+    out = out.at[_axslice(out, ax, slice(0, Nt // 2 + 1))].set(
+        p[_axslice(p, ax, slice(0, Nt // 2 + 1))])
+    out = out.at[_axslice(out, ax, slice(Np - Nt // 2, Np))].set(
+        p[_axslice(p, ax, slice(Nt - Nt // 2, Nt))])
+    if Nt % 2 == 0:
+        out = out.at[_axslice(out, ax, slice(Nt // 2, Nt // 2 + 1))].multiply(0.5)
+        out = out.at[_axslice(out, ax,
+                              slice(Np - Nt // 2, Np - Nt // 2 + 1))].multiply(0.5)
+    return out
+
+
 class PlanarPFFT(object):
     """Pencil/slab-decomposed FFT in planar-complex form.
 
@@ -39,8 +92,8 @@ class PlanarPFFT(object):
     """
 
     def __init__(self, comm=None, shape=None, axes=None, dtype='f',
-                 grid=None, donate=False):
-        shape = tuple(int(s) for s in shape)
+                 grid=None, donate=False, padding=False):
+        shape = list(int(s) for s in shape)
         ndim = len(shape)
         if axes is None:
             axes = tuple(range(ndim))
@@ -50,6 +103,19 @@ class PlanarPFFT(object):
         self.real_transform = dtype.char in 'fd'
         self.rdtype = np.dtype('float32') if dtype.char in 'fF' \
             else np.dtype('float64')
+
+        # dealiasing: inflate physical shape, re-derive exact factors
+        # (reference: mpifft.py:247-253)
+        self._pad = [1.0] * ndim
+        if padding is not False and padding is not None:
+            padding = [padding] * ndim if np.ndim(padding) == 0 else list(padding)
+            assert len(padding) == ndim
+            for ax in axes:
+                if padding[ax] > 1.0 + 1e-6:
+                    old = float(shape[ax])
+                    shape[ax] = int(np.floor(shape[ax] * padding[ax]))
+                    self._pad[ax] = shape[ax] / old
+        shape = tuple(shape)
 
         if grid is not None:
             dims = list(grid) + [1] * (ndim - len(grid))
@@ -62,10 +128,15 @@ class PlanarPFFT(object):
         self.axes = axes
         self._input_shape = shape
 
-        # spectral global shape (r2c halves the first-transformed axis)
+        # truncated spectral extents per axis (== padded extent when no
+        # dealiasing); r2c halves the first-transformed axis
+        self._trunc = {ax: int(np.round(shape[ax] / self._pad[ax]))
+                       for ax in axes}
         out_shape = list(shape)
+        for ax in axes:
+            out_shape[ax] = self._trunc[ax]
         if self.real_transform:
-            out_shape[axes[-1]] = shape[axes[-1]] // 2 + 1
+            out_shape[axes[-1]] = self._trunc[axes[-1]] // 2 + 1
         self._output_shape = tuple(out_shape)
 
         # pencil chain over the spectral shape, first-transformed axis last
@@ -93,18 +164,29 @@ class PlanarPFFT(object):
                                      donate_argnums=dn)
 
     # ------------------------------------------------------------------
+    def _padded(self, ax):
+        return self._pad[ax] > 1.0 + 1e-8
+
     def _forward_impl(self, x, normalize):
         axes = self.axes
+        ax0 = axes[-1]
         if self.real_transform:
             x = self.pencil[0].constrain(x)
             with jax.named_scope("planar_stage0_r2c"):
-                p = matfft.rfftn_p(x, (axes[-1],))
+                p = matfft.rfftn_p(x, (ax0,))
+                if self._padded(ax0):
+                    p = truncate_planar(p, 1 + ax0,
+                                        self._trunc[ax0] // 2 + 1,
+                                        hermitian=True)
                 p = self.pencils[0].constrain(p, rank=1)
         else:
             # x: planar (2,)+S
             x = self.pencil[0].constrain(x, rank=1)
             with jax.named_scope("planar_stage0"):
-                p = matfft.fft1d_p(x, axes[-1], True)
+                p = matfft.fft1d_p(x, ax0, True)
+                if self._padded(ax0):
+                    p = truncate_planar(p, 1 + ax0, self._trunc[ax0],
+                                        hermitian=False)
                 p = self.pencils[0].constrain(p, rank=1)
         for i, ax in enumerate(reversed(axes[:-1])):
             pen = self.pencils[i + 1]
@@ -112,6 +194,9 @@ class PlanarPFFT(object):
                 p = pen.constrain(p, rank=1)
             with jax.named_scope(f"planar_stage{i + 1}"):
                 p = matfft.fft1d_p(p, ax, True)
+                if self._padded(ax):
+                    p = truncate_planar(p, 1 + ax, self._trunc[ax],
+                                        hermitian=False)
                 p = pen.constrain(p, rank=1)
         if normalize:
             p = p * np.asarray(self._norm, dtype=self.rdtype)
@@ -124,16 +209,26 @@ class PlanarPFFT(object):
             pen = self.pencils[len(axes) - 1 - i]
             p = pen.constrain(p, rank=1)
             with jax.named_scope(f"planar_bstage{i}"):
+                if self._padded(ax):
+                    p = pad_planar(p, 1 + ax, self._input_shape[ax],
+                                   hermitian=False)
                 p = matfft.fft1d_p(p, ax, False)
                 p = pen.constrain(p, rank=1)
         p = self.pencils[0].constrain(p, rank=1)
+        ax0 = axes[-1]
         with jax.named_scope("planar_bstage_last"):
             if self.real_transform:
-                y = matfft.irfftn_p(p, (axes[-1],),
-                                    self._input_shape[axes[-1]])
+                if self._padded(ax0):
+                    p = pad_planar(p, 1 + ax0,
+                                   self._input_shape[ax0] // 2 + 1,
+                                   hermitian=True)
+                y = matfft.irfftn_p(p, (ax0,), self._input_shape[ax0])
                 y = self.pencil[0].constrain(y)
             else:
-                y = matfft.fft1d_p(p, axes[-1], False)
+                if self._padded(ax0):
+                    p = pad_planar(p, 1 + ax0, self._input_shape[ax0],
+                                   hermitian=False)
+                y = matfft.fft1d_p(p, ax0, False)
                 y = self.pencil[0].constrain(y, rank=1)
         if normalize:
             y = y * np.asarray(self._norm, dtype=self.rdtype)

@@ -7,7 +7,6 @@ norm, and newDistArray view/rank matrix with PFFT-from-darray.
 """
 import numpy as np
 import jax
-import pytest
 
 from mpi4py_fft_tpu import DistArray, newDistArray, PFFT
 from mpi4py_fft_tpu.parallel import Subcomm

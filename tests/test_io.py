@@ -5,7 +5,6 @@ write/read round-trips for 2D/3D, rank 0-2 tensors, domain variants, whole
 arrays + global slices, as_scalar, both backends, xdmf generation for both
 axis orders.
 """
-import functools
 import os
 
 import numpy as np

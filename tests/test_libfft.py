@@ -6,7 +6,6 @@ fwd-bwd-fwd fixed point (padded physical space cannot be initialized
 directly); custom transforms dicts per backend.
 """
 import functools
-from time import time
 
 import numpy as np
 import pytest

@@ -11,7 +11,6 @@ from itertools import product
 
 import numpy as np
 import jax
-import pytest
 
 from mpi4py_fft_tpu.parallel import Subcomm, Pencil
 from mpi4py_fft_tpu.parallel.pencil import blockdist
@@ -130,7 +129,6 @@ def test_blockdist_matches_jax():
 
 def test_transfer_fn_in_jit():
     """The pure reshard path composes under jit (the fused-pipeline path)."""
-    import jax.numpy as jnp
     rng = np.random.default_rng(3)
     shape = (8, 12, 16)
     subcomm = Subcomm(None, [0, 0, 1])

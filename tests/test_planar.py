@@ -75,3 +75,33 @@ def test_planar_collectives():
     txt = jax.jit(lambda v: pfft.forward_fn(v)).lower(x).compile().as_text()
     assert txt.count('all-to-all') > 0
     assert txt.count('all-gather') == 0, "transpose degraded to all-gather"
+
+
+@pytest.mark.parametrize("dtype", ['d', 'D'])
+def test_planar_pfft_padding(dtype):
+    """3/2-rule dealiasing on the planar pipeline: fwd∘bwd∘fwd fixed point
+    and agreement with the complex-dtype PFFT reference path."""
+    rng = np.random.default_rng(7)
+    shape = (16, 16, 16)
+    pfft = PlanarPFFT(None, shape, dtype=dtype, padding=[1.5, 1.5, 1.5])
+    sh = pfft.global_shape(True)
+    # random spectral data, planar
+    ph = jnp.asarray(rng.standard_normal(sh))
+    up = pfft.backward(ph)
+    ph2 = pfft.forward(up)
+    up2 = pfft.backward(ph2)
+    ph3 = pfft.forward(up2)
+    assert np.allclose(np.asarray(ph3), np.asarray(ph2), atol=1e-10)
+
+    # cross-check against the complex-dtype PFFT padding path
+    from mpi4py_fft_tpu import PFFT
+    cfft = PFFT(None, list(shape), padding=[1.5, 1.5, 1.5],
+                dtype=dtype)
+    zh = np.asarray(ph2[0]) + 1j * np.asarray(ph2[1])
+    upc = cfft.backward(zh)
+    if dtype == 'd':
+        assert np.allclose(np.asarray(up2), np.asarray(upc), atol=1e-10), \
+            np.abs(np.asarray(up2) - np.asarray(upc)).max()
+    else:
+        got = np.asarray(up2[0]) + 1j * np.asarray(up2[1])
+        assert np.allclose(got, np.asarray(upc), atol=1e-10)
