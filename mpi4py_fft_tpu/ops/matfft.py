@@ -185,29 +185,41 @@ def _pmul(a, b):
     return jnp.stack([re, im])
 
 
+def _wblock(W):
+    """Planar W (2, n, k) -> batched block form (2, n, 2k):
+    [0] = [Wr | Wi], [1] = [Wi | Wr].
+
+    One planar-batched dot against this computes all four real products of
+    a complex contraction while reading each input part exactly once:
+        out[0] = [xr Wr | xr Wi],  out[1] = [xi Wi | xi Wr]
+        y_re = out[0,:k] - out[1,:k];  y_im = out[0,k:] + out[1,k:]
+    (vs. four separate dots that each re-read x from HBM).
+    """
+    Wr, Wi = W[0], W[1]
+    return jnp.stack([jnp.concatenate([Wr, Wi], axis=1),
+                      jnp.concatenate([Wi, Wr], axis=1)])
+
+
 def _pmatstage(p, W):
     """Planar radix stage: p (2, ..., n, t) contracted with planar W
-    (2, n, k) over n -> (2, ..., k, t).  4 real MXU einsums."""
+    (2, n, k) over n -> (2, ..., k, t).  One batched MXU einsum."""
     prec = _prec(p.dtype)
-    xr, xi = p[0], p[1]
-    Wr, Wi = W[0], W[1]
-    rr = jnp.einsum('...nt,nk->...kt', xr, Wr, precision=prec)
-    ii = jnp.einsum('...nt,nk->...kt', xi, Wi, precision=prec)
-    ri = jnp.einsum('...nt,nk->...kt', xr, Wi, precision=prec)
-    ir = jnp.einsum('...nt,nk->...kt', xi, Wr, precision=prec)
-    return jnp.stack([rr - ii, ri + ir])
+    k = W.shape[-1]
+    Wb = _wblock(W)                       # (2, n, 2k)
+    out = jnp.einsum('p...nt,pnk->p...kt', p, Wb, precision=prec)
+    return jnp.stack([out[0, ..., :k, :] - out[1, ..., :k, :],
+                      out[0, ..., k:, :] + out[1, ..., k:, :]])
 
 
 def _pmatmul_last(p, W):
-    """Planar contraction of the last axis with planar W (2, N, K)."""
+    """Planar contraction of the last axis with planar W (2, N, K).
+    One batched MXU dot (see _wblock)."""
     prec = _prec(p.dtype)
-    xr, xi = p[0], p[1]
-    Wr, Wi = W[0], W[1]
-    rr = jnp.matmul(xr, Wr, precision=prec)
-    ii = jnp.matmul(xi, Wi, precision=prec)
-    ri = jnp.matmul(xr, Wi, precision=prec)
-    ir = jnp.matmul(xi, Wr, precision=prec)
-    return jnp.stack([rr - ii, ri + ir])
+    k = W.shape[-1]
+    Wb = _wblock(W)                       # (2, N, 2k)
+    out = jnp.einsum('p...n,pnk->p...k', p, Wb, precision=prec)
+    return jnp.stack([out[0, ..., :k] - out[1, ..., :k],
+                      out[0, ..., k:] + out[1, ..., k:]])
 
 
 # ---------------------------------------------------------------------------
@@ -273,20 +285,24 @@ def set_mid_axis_strategy(mode):
 
 def _pmatstage_mid(p, W, axis):
     """Planar contraction of p's ``axis`` (in planar coords) with planar
-    W (2, n, k), output k at the same position."""
+    W (2, n, k), output k at the same position.  One batched MXU einsum
+    (see _wblock)."""
     prec = _prec(p.dtype)
     nd = p.ndim
+    k = W.shape[-1]
     sub = 'abcdefgh'[:nd - 1]
-    lhs = sub[:axis - 1] + 'n' + sub[axis - 1:nd - 2]
-    out = sub[:axis - 1] + 'k' + sub[axis - 1:nd - 2]
-    expr = f'{lhs},nk->{out}'
-    xr, xi = p[0], p[1]
-    Wr, Wi = W[0], W[1]
-    rr = jnp.einsum(expr, xr, Wr, precision=prec)
-    ii = jnp.einsum(expr, xi, Wi, precision=prec)
-    ri = jnp.einsum(expr, xr, Wi, precision=prec)
-    ir = jnp.einsum(expr, xi, Wr, precision=prec)
-    return jnp.stack([rr - ii, ri + ir])
+    lhs = 'p' + sub[:axis - 1] + 'n' + sub[axis - 1:nd - 2]
+    out = 'p' + sub[:axis - 1] + 'k' + sub[axis - 1:nd - 2]
+    expr = f'{lhs},pnk->{out}'
+    Wb = _wblock(W)
+    o = jnp.einsum(expr, p, Wb, precision=prec)
+    ksl_lo = [slice(None)] * nd
+    ksl_hi = [slice(None)] * nd
+    ksl_lo[axis] = slice(0, k)
+    ksl_hi[axis] = slice(k, 2 * k)
+    lo = o[tuple(ksl_lo)]
+    hi = o[tuple(ksl_hi)]
+    return jnp.stack([lo[0] - lo[1], hi[0] + hi[1]])
 
 
 def _fft_axis_einsum(p, axis, sign):
