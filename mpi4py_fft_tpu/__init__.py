@@ -30,13 +30,22 @@ import sys as _sys
 
 from . import ops
 from . import ops as fftw
-_sys.modules[__name__ + '.fftw'] = ops      # reference-compatible submodule                      # reference-compatible alias
+# reference-compatible module aliases (reference package layout:
+# mpi4py_fft/fftw/{__init__,xfftn,factory,utilities})
+_sys.modules[__name__ + '.fftw'] = ops
+from .ops import xfftn as _xfftn_mod, plan as _plan_mod
+from . import utils as _utils_mod
+_sys.modules[__name__ + '.fftw.xfftn'] = _xfftn_mod
+_sys.modules[__name__ + '.fftw.factory'] = _plan_mod
+_sys.modules[__name__ + '.fftw.utilities'] = _utils_mod
 from .ops.plan import fftlib                   # noqa: F401
 from .parallel.pencil import Subcomm, Pencil, Transfer  # noqa: F401
 from .parallel.mpifft import PFFT, Transform   # noqa: F401
+from .parallel.planar import PlanarPFFT        # noqa: F401
 from .distarray import DistArray, newDistArray, Function  # noqa: F401
 from .io import HDF5File, NCFile, generate_xdmf  # noqa: F401
 
 __all__ = ['DistArray', 'newDistArray', 'Function', 'PFFT', 'Transform',
+           'PlanarPFFT',
            'fftw', 'ops', 'fftlib', 'Subcomm', 'Pencil', 'Transfer',
            'HDF5File', 'NCFile', 'generate_xdmf']

@@ -14,3 +14,9 @@ from .xfftn import (fftn, ifftn, rfftn, irfftn, dctn, idctn, dstn,  # noqa: F401
                     idstn, hfftn, ihfftn, get_normalization, inverse,
                     dct_type, idct_type, dst_type, idst_type)
 from . import core  # noqa: F401
+
+# Reference-compatible submodule names (mpi4py_fft/fftw/{factory,utilities}).
+# These must be real attributes so ``import mpi4py_fft_tpu.fftw.factory as f``
+# resolves (the ``as`` form binds via getattr on the parent module).
+from . import plan as factory      # noqa: F401
+from .. import utils as utilities  # noqa: F401
