@@ -92,6 +92,32 @@ def _use_pallas(N):
     return jax.default_backend() == 'tpu' and jax.device_count() == 1
 
 
+# Stockham butterfly kernel dispatch (ops/pallas_butterfly.py): the
+# preferred single-chip path — 2 HBM passes and 5NlogN VPU flops per axis
+# at full f32 precision.  'auto' enables it on a single TPU device for
+# supported (pow2) axes; the einsum engine remains the fallback and the
+# multi-device (GSPMD) path.
+_BFLY_MODE = _os.environ.get('MPI4PY_FFT_TPU_BUTTERFLY', 'auto')
+
+
+def set_butterfly_mode(mode):
+    global _BFLY_MODE
+    assert mode in ('auto', 'on', 'off')
+    _BFLY_MODE = mode
+
+
+def _use_butterfly(shape, axis, dtype):
+    if _BFLY_MODE == 'off':
+        return False
+    from . import pallas_butterfly as pb
+    if not pb.supported_axis(shape, axis, dtype):
+        return False
+    if _BFLY_MODE == 'on':
+        return True
+    import jax
+    return jax.default_backend() == 'tpu' and jax.device_count() == 1
+
+
 # ---------------------------------------------------------------------------
 # constants (numpy, cached, f64-built)
 # ---------------------------------------------------------------------------
@@ -345,6 +371,9 @@ def fft1d_p(p, axis, forward=True):
     sign = -1 if forward else +1
     nd = p.ndim - 1                 # complex rank
     axis = axis % nd
+    if _use_butterfly(p.shape[1:], axis, p.dtype):
+        from . import pallas_butterfly as pb
+        return pb.fft_axis_p(p, axis, forward)
     if axis == nd - 1:
         return _fft_last_p(p, sign)
     if _MID_AXIS == 'einsum':

@@ -1,0 +1,235 @@
+"""Pallas TPU kernel: Stockham radix-2 FFT over any axis, pure VPU.
+
+The matmul engine (ops/matfft.py) computes DFTs as MXU contractions —
+radix-R stages cost R MACs per element (R >> log2 R), and every stage
+round-trips HBM.  This kernel instead runs the textbook O(N log N)
+butterfly data-flow entirely inside VMEM: one HBM read, log2(N) Stockham
+radix-2 stages on the VPU, one HBM write — the two unavoidable passes —
+at full f32 precision (no MXU bf16 rounding).  Replaces the role of
+FFTW's codelet generator for power-of-two sizes (reference:
+mpi4py_fft/fftw/fftw_planxfftn.c and libfftw behind it).
+
+Stockham autosort recurrence (DIF, self-sorting — no bit reversal):
+
+    state S has shape (L, M): L = remaining transform length, M = number
+    of interleaved sub-transforms (L*M = N, M doubles each stage).
+    With w_L = exp(sign*2i*pi/L):
+        a = S[:L/2] + S[L/2:]
+        b = (S[:L/2] - S[L/2:]) * w_L**arange(L/2)   (per-row twiddle)
+        S <- concat([a, b], axis=1)                  # (L/2, 2M)
+    After log2(N) stages S is (1, N) and the M index IS the output
+    frequency in natural order (sub-transform j of an (L, M) state
+    computes the frequencies k = k_local*M + j).
+
+Mosaic mapping: the transform axis is placed in the *leading* (non-tiled)
+position of an (N, M, 8, 128) state — the trailing (sublane, lane) tile
+is an (8, 128) chunk of the *other* axes and is never touched, so every
+slice/concat is a whole-tile page operation and no relayout padding
+occurs.  Axis positioning uses only probed-legal moves on this toolchain:
+last-two-dim swaps, leading<->sublane 3-D transposes, and lane splits
+(B, 1024) -> (B, 8, 128).  Stage twiddles arrive as one page-broadcast
+input (2, N-1, 8, 128) whose block index is grid-constant, so the
+pipeline DMAs it once and it stays VMEM-resident across steps.
+
+Complex data is planar throughout: (2, ...) real arrays (see matfft.py).
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ['fft_axis_p', 'supported_axis']
+
+_LANE = 128
+_SUB = 8
+_MAX_N = 256           # VMEM bound: tile + twiddle pack + state temps
+
+
+def _is_pow2(n):
+    return n >= 2 and (n & (n - 1)) == 0
+
+
+@functools.lru_cache(maxsize=None)
+def _tw_pack(N, sign, dtype_str):
+    """All Stockham stage twiddles, page-broadcast: (2, N-1, 8, 128).
+
+    Row layout: stage for length L occupies rows [off_L, off_L + L//2)
+    holding w_L^n = exp(sign*2i*pi*n/L); offsets follow descending L.
+    """
+    rows_r, rows_i = [], []
+    L = N
+    while L > 1:
+        n = np.arange(L // 2)
+        ang = sign * 2.0 * np.pi * n / L
+        rows_r.append(np.cos(ang))
+        rows_i.append(np.sin(ang))
+        L //= 2
+    cr = np.concatenate(rows_r)
+    ci = np.concatenate(rows_i)
+    pack = np.stack([cr, ci])[:, :, None, None]
+    pack = np.broadcast_to(pack, (2, N - 1, _SUB, _LANE))
+    return np.ascontiguousarray(pack.astype(dtype_str))
+
+
+def _butterfly(xr, xi, tw_ref, N):
+    """Stockham radix-2 over the leading axis of (N, 8, 128) pairs."""
+    # state (L, M, 8, 128); inserting the M axis is leading-dim metadata
+    xr = xr[:, None]
+    xi = xi[:, None]
+    L = N
+    off = 0
+    while L > 1:
+        Lh = L // 2
+        ar, br = xr[:Lh], xr[Lh:]
+        ai, bi = xi[:Lh], xi[Lh:]
+        sr, si = ar + br, ai + bi
+        dr, di = ar - br, ai - bi
+        if L == 2:
+            tr, ti = dr, di          # w = 1
+        else:
+            twr = tw_ref[0, off:off + Lh][:, None]   # (Lh, 1, 8, 128)
+            twi = tw_ref[1, off:off + Lh][:, None]
+            tr = dr * twr - di * twi
+            ti = dr * twi + di * twr
+        xr = jnp.concatenate([sr, tr], axis=1)
+        xi = jnp.concatenate([si, ti], axis=1)
+        off += Lh
+        L = Lh
+    return xr[0], xi[0]              # (N, 8, 128)
+
+
+# ---------------------------------------------------------------------------
+# kernel bodies (one per axis position)
+# ---------------------------------------------------------------------------
+
+def _kern_mid(x_ref, tw_ref, o_ref, *, N):
+    """Transform the sublane-adjacent middle axis: block (2, 8, N, 128)."""
+    xr = jnp.transpose(x_ref[0], (1, 0, 2))   # (N, 8, 128) lead<->sublane
+    xi = jnp.transpose(x_ref[1], (1, 0, 2))
+    r, i = _butterfly(xr, xi, tw_ref, N)
+    o_ref[0] = jnp.transpose(r, (1, 0, 2))
+    o_ref[1] = jnp.transpose(i, (1, 0, 2))
+
+
+def _kern_last(x_ref, tw_ref, o_ref, *, N):
+    """Transform the lane (last) axis: block (2, R, N), R = 1024."""
+    R = x_ref.shape[1]
+    xs = []
+    for p in range(2):
+        x = jnp.swapaxes(x_ref[p], 0, 1)      # (N, R) full 2-D transpose
+        xs.append(x.reshape(N, R // _LANE, _LANE))   # lane split
+    r, i = _butterfly(xs[0], xs[1], tw_ref, N)
+    o_ref[0] = jnp.swapaxes(r.reshape(N, R), 0, 1)
+    o_ref[1] = jnp.swapaxes(i.reshape(N, R), 0, 1)
+
+
+def _kern_lead(x_ref, tw_ref, o_ref, *, N):
+    """Transform the leading axis: block (2, N, Q), Q = 1024."""
+    Q = x_ref.shape[2]
+    xr = x_ref[0].reshape(N, Q // _LANE, _LANE)   # lane split; N leading
+    xi = x_ref[1].reshape(N, Q // _LANE, _LANE)
+    r, i = _butterfly(xr, xi, tw_ref, N)
+    o_ref[0] = r.reshape(N, Q)
+    o_ref[1] = i.reshape(N, Q)
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+def supported_axis(shape, axis, dtype):
+    """True if ``fft_axis_p`` has a kernel for this (shape, axis, dtype).
+
+    shape is the complex shape (no planar dim); f32 only (f64 is emulated
+    on TPU and stays on the einsum engine).
+    """
+    if np.dtype(dtype) != np.float32:
+        return False
+    nd = len(shape)
+    axis = axis % nd
+    N = shape[axis]
+    if not _is_pow2(N) or N > _MAX_N:
+        return False
+    pre = int(np.prod(shape[:axis], dtype=np.int64)) if axis else 1
+    post = int(np.prod(shape[axis + 1:], dtype=np.int64)) \
+        if axis < nd - 1 else 1
+    if post == 1:
+        return pre % (_SUB * _LANE) == 0
+    if pre == 1:
+        return post % (_SUB * _LANE) == 0
+    return pre % _SUB == 0 and post % _LANE == 0
+
+
+@functools.partial(jax.jit, static_argnames=('axis', 'sign', 'interpret'))
+def _dispatch(p, axis, sign, interpret):
+    shape = p.shape[1:]
+    nd = len(shape)
+    N = shape[axis]
+    dtype_str = np.dtype(p.dtype).name
+    pre = int(np.prod(shape[:axis], dtype=np.int64)) if axis else 1
+    post = int(np.prod(shape[axis + 1:], dtype=np.int64)) \
+        if axis < nd - 1 else 1
+    tw = jnp.asarray(_tw_pack(N, sign, dtype_str))
+    tw_spec = pl.BlockSpec((2, N - 1, _SUB, _LANE),
+                           lambda *g: (0, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    if post == 1:
+        x = p.reshape(2, pre, N)
+        R = _SUB * _LANE
+        out = pl.pallas_call(
+            functools.partial(_kern_last, N=N),
+            out_shape=jax.ShapeDtypeStruct((2, pre, N), p.dtype),
+            grid=(pre // R,),
+            in_specs=[pl.BlockSpec((2, R, N), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM), tw_spec],
+            out_specs=pl.BlockSpec((2, R, N), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(x, tw)
+    elif pre == 1:
+        x = p.reshape(2, N, post)
+        Q = _SUB * _LANE
+        out = pl.pallas_call(
+            functools.partial(_kern_lead, N=N),
+            out_shape=jax.ShapeDtypeStruct((2, N, post), p.dtype),
+            grid=(post // Q,),
+            in_specs=[pl.BlockSpec((2, N, Q), lambda i: (0, 0, i),
+                                   memory_space=pltpu.VMEM), tw_spec],
+            out_specs=pl.BlockSpec((2, N, Q), lambda i: (0, 0, i),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(x, tw)
+    else:
+        x = p.reshape(2, pre, N, post)
+        out = pl.pallas_call(
+            functools.partial(_kern_mid, N=N),
+            out_shape=jax.ShapeDtypeStruct((2, pre, N, post), p.dtype),
+            grid=(pre // _SUB, post // _LANE),
+            in_specs=[pl.BlockSpec((2, _SUB, N, _LANE),
+                                   lambda i, j: (0, i, 0, j),
+                                   memory_space=pltpu.VMEM), tw_spec],
+            out_specs=pl.BlockSpec((2, _SUB, N, _LANE),
+                                   lambda i, j: (0, i, 0, j),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(x, tw)
+    return out.reshape(p.shape)
+
+
+def fft_axis_p(p, axis, forward=True, interpret=None):
+    """Planar c2c FFT along ``axis`` (complex coords) of (2, ...) data.
+
+    Requires ``supported_axis(p.shape[1:], axis, p.dtype)``.  Unnormalized;
+    forward=False is the unscaled inverse.  2 HBM passes, VPU butterflies.
+    """
+    nd = p.ndim - 1
+    axis = axis % nd
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    sign = -1 if forward else +1
+    return _dispatch(p, axis, sign, interpret)

@@ -92,7 +92,7 @@ class PlanarPFFT(object):
     """
 
     def __init__(self, comm=None, shape=None, axes=None, dtype='f',
-                 grid=None, donate=False, padding=False):
+                 grid=None, donate=False, padding=False, pad_spectrum=False):
         shape = list(int(s) for s in shape)
         ndim = len(shape)
         if axes is None:
@@ -150,6 +150,27 @@ class PlanarPFFT(object):
         self.pencil = [Pencil(self.subcomm, list(shape), axes[-1]),
                        self.pencils[-1]]
 
+        # r2c: the halved axis (extent N//2+1, usually odd) is transformed
+        # first and never again, but is resharded by every later transpose;
+        # an odd extent makes GSPMD fall back to all-gather+slice.  Pad it
+        # with zero rows to the lcm of every group size that shards it, and
+        # slice back at the pipeline boundary — transposes then move evenly
+        # divisible extents and stay pure all-to-all over ICI.
+        # pad_spectrum=True keeps the r2c spectrum at the padded extent
+        # (trailing zero rows) so no boundary slice — and therefore no
+        # GSPMD all-gather — is ever emitted; pointwise spectral algebra
+        # and the backward transform are exact on the padded form.
+        self._pad_spectrum = bool(pad_spectrum)
+        self._hpad_ext = None
+        if self.real_transform:
+            hax = axes[-1]
+            q = 1
+            for pen in self.pencils:
+                q = int(np.lcm(q, pen.subcomm[hax].Get_size()))
+            nh = self._output_shape[hax]
+            if q > 1 and nh % q:
+                self._hpad_ext = (-(-nh // q)) * q
+
         Mtot = float(np.prod([shape[a] for a in axes]))
         self._norm = 1.0 / Mtot
 
@@ -178,6 +199,10 @@ class PlanarPFFT(object):
                     p = truncate_planar(p, 1 + ax0,
                                         self._trunc[ax0] // 2 + 1,
                                         hermitian=True)
+                if self._hpad_ext is not None:
+                    pad = [(0, 0)] * p.ndim
+                    pad[1 + ax0] = (0, self._hpad_ext - p.shape[1 + ax0])
+                    p = jnp.pad(p, pad)
                 p = self.pencils[0].constrain(p, rank=1)
         else:
             # x: planar (2,)+S
@@ -198,12 +223,20 @@ class PlanarPFFT(object):
                     p = truncate_planar(p, 1 + ax, self._trunc[ax],
                                         hermitian=False)
                 p = pen.constrain(p, rank=1)
+        if self._hpad_ext is not None and not self._pad_spectrum:
+            p = p[_axslice(p, 1 + ax0, slice(0, self._output_shape[ax0]))]
+            p = self.pencils[-1].constrain(p, rank=1)
         if normalize:
             p = p * np.asarray(self._norm, dtype=self.rdtype)
         return p
 
     def _backward_impl(self, p, normalize):
         axes = self.axes
+        if self._hpad_ext is not None:
+            hax = axes[-1]
+            pad = [(0, 0)] * p.ndim
+            pad[1 + hax] = (0, self._hpad_ext - p.shape[1 + hax])
+            p = jnp.pad(p, pad)
         p = self.pencils[-1].constrain(p, rank=1)
         for i, ax in enumerate(axes[:-1]):
             pen = self.pencils[len(axes) - 1 - i]
@@ -216,6 +249,8 @@ class PlanarPFFT(object):
                 p = pen.constrain(p, rank=1)
         p = self.pencils[0].constrain(p, rank=1)
         ax0 = axes[-1]
+        if self._hpad_ext is not None:
+            p = p[_axslice(p, 1 + ax0, slice(0, self._output_shape[ax0]))]
         with jax.named_scope("planar_bstage_last"):
             if self.real_transform:
                 if self._padded(ax0):
@@ -252,6 +287,10 @@ class PlanarPFFT(object):
 
     def global_shape(self, forward_output=False):
         if forward_output:
+            if self._pad_spectrum and self._hpad_ext is not None:
+                sh = list(self._output_shape)
+                sh[self.axes[-1]] = self._hpad_ext
+                return (2,) + tuple(sh)
             return (2,) + self._output_shape
         if self.real_transform:
             return self._input_shape

@@ -1,0 +1,99 @@
+"""Stockham butterfly kernel (ops/pallas_butterfly.py) — interpret-mode
+correctness on CPU vs numpy, across axis positions, signs, and shapes,
+plus engine integration via set_butterfly_mode.
+
+Reference test model: mpi4py_fft tests/test_fftw.py (round-trips and
+cross-checks against numpy/scipy).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mpi4py_fft_tpu.ops import matfft
+from mpi4py_fft_tpu.ops import pallas_butterfly as pb
+
+
+CASES = [
+    ((8192, 256), 1),       # last axis (lane kernel)
+    ((256, 8, 128), 0),     # leading axis
+    ((16, 256, 2, 128), 1),  # middle axis
+    ((8, 256, 128), 1),     # middle axis, minimal chunking
+    ((256, 1024), 0),       # leading axis, 2-D
+    ((1024, 8, 16), 2),     # last axis, small N
+    ((4096, 16), 1),        # last axis, N=16
+]
+
+
+@pytest.mark.parametrize('shape,axis', CASES)
+@pytest.mark.parametrize('forward', [True, False])
+def test_butterfly_axis(shape, axis, forward):
+    assert pb.supported_axis(shape, axis, np.float32)
+    rng = np.random.default_rng(42)
+    z = (rng.standard_normal(shape)
+         + 1j * rng.standard_normal(shape)).astype(np.complex64)
+    p = jnp.asarray(np.stack([z.real, z.imag]))
+    y = pb.fft_axis_p(p, axis, forward, interpret=True)
+    got = np.asarray(y[0]) + 1j * np.asarray(y[1])
+    if forward:
+        ref = np.fft.fft(z, axis=axis)
+    else:
+        ref = np.fft.ifft(z, axis=axis) * shape[axis]
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 5e-6, rel
+
+
+def test_supported_axis_gate():
+    # non-pow2, too-large, f64, and bad chunking must be rejected
+    assert not pb.supported_axis((12, 256), 1, np.float32)
+    assert not pb.supported_axis((8192, 4096), 1, np.float32)
+    assert not pb.supported_axis((8192, 256), 1, np.float64)
+    assert not pb.supported_axis((100, 256, 100), 1, np.float32)
+    assert not pb.supported_axis((8, 256), 1, np.float32)  # pre % 1024
+    assert pb.supported_axis((8, 256, 128), 1, np.float32)
+
+
+def test_engine_integration_3d():
+    """fft1d_p uses the butterfly kernel when forced on; results must
+    match the einsum engine to f32 roundoff, composed over 3 axes."""
+    rng = np.random.default_rng(3)
+    shape = (64, 128, 128)
+    z = (rng.standard_normal(shape)
+         + 1j * rng.standard_normal(shape)).astype(np.complex64)
+    p = jnp.asarray(np.stack([z.real, z.imag]))
+
+    matfft.set_butterfly_mode('off')
+    try:
+        ref = p
+        for ax in (2, 1, 0):
+            ref = matfft.fft1d_p(ref, ax, True)
+        ref = np.asarray(ref[0]) + 1j * np.asarray(ref[1])
+    finally:
+        matfft.set_butterfly_mode('auto')
+
+    matfft.set_butterfly_mode('on')
+    try:
+        got = p
+        for ax in (2, 1, 0):
+            got = matfft.fft1d_p(got, ax, True)
+        got = np.asarray(got[0]) + 1j * np.asarray(got[1])
+    finally:
+        matfft.set_butterfly_mode('auto')
+
+    npref = np.fft.fftn(z)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(npref) < 5e-5
+    assert np.linalg.norm(got - npref) / np.linalg.norm(npref) < 5e-5
+
+
+def test_roundtrip():
+    rng = np.random.default_rng(7)
+    shape = (1024, 256)
+    z = (rng.standard_normal(shape)
+         + 1j * rng.standard_normal(shape)).astype(np.complex64)
+    p = jnp.asarray(np.stack([z.real, z.imag]))
+    y = pb.fft_axis_p(p, 1, True, interpret=True)
+    b = pb.fft_axis_p(y, 1, False, interpret=True) / shape[1]
+    err = np.linalg.norm(np.asarray(b) - np.asarray(p)) \
+        / np.linalg.norm(np.asarray(p))
+    assert err < 5e-6, err

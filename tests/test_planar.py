@@ -105,3 +105,31 @@ def test_planar_pfft_padding(dtype):
     else:
         got = np.asarray(up2[0]) + 1j * np.asarray(up2[1])
         assert np.allclose(got, np.asarray(upc), atol=1e-10)
+
+
+def test_r2c_pencil_no_allgather():
+    """The halved r2c axis is zero-padded to an evenly shardable extent so
+    every pencil transpose lowers to a pure all-to-all; with
+    pad_spectrum=True no all-gather appears anywhere in the pipeline."""
+    import re
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device mesh")
+    rng = np.random.default_rng(5)
+    pfft = PlanarPFFT(None, (32, 32, 32), dtype='f', grid=(4, 2),
+                      pad_spectrum=True)
+    x = jnp.asarray(rng.standard_normal((32, 32, 32)).astype(np.float32))
+    fwd = jax.jit(lambda q: pfft.forward_fn(q, normalize=False))
+    txt = fwd.lower(x).compile().as_text()
+    assert 'all-gather' not in txt
+    assert 'all-to-all' in txt
+    y = fwd(x)
+    assert y.shape == pfft.global_shape(True)
+    got = np.asarray(y[0]) + 1j * np.asarray(y[1])
+    ref = np.fft.rfftn(np.asarray(x))
+    nh = ref.shape[-1]
+    assert np.linalg.norm(got[..., :nh] - ref) / np.linalg.norm(ref) < 1e-5
+    assert float(np.abs(got[..., nh:]).max()) == 0.0
+    # padded spectrum round-trips exactly through backward
+    bwd = jax.jit(lambda q: pfft.backward_fn(q, normalize=True))
+    rt = np.asarray(bwd(y))
+    assert np.linalg.norm(rt - np.asarray(x)) / np.linalg.norm(np.asarray(x)) < 1e-5
