@@ -21,12 +21,30 @@ API sketch::
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec
+
+try:                                # jax >= 0.4.35 spelling
+    from jax import shard_map as _shard_map
+except ImportError:                 # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
 
 from ..ops import matfft
 from .pencil import Pencil, Subcomm
 from .comm import COMM_WORLD
 
 __all__ = ['PlanarPFFT']
+
+
+def _local_fft1d(p, ax, forward):
+    """Per-shard 1-D planar transform with explicit butterfly-kernel
+    dispatch (inside shard_map the engine's single-device auto check does
+    not apply — local shard shapes decide kernel support)."""
+    from ..ops import pallas_butterfly as pb
+    if (matfft._BFLY_MODE != 'off' and jax.default_backend() == 'tpu'
+            and pb.supported_axis(p.shape[1:], ax, p.dtype)):
+        return pb.fft_axis_p(p, ax, forward)
+    return matfft.fft1d_p(p, ax, forward)
 
 
 def _axslice(p, ax, sl):
@@ -92,7 +110,8 @@ class PlanarPFFT(object):
     """
 
     def __init__(self, comm=None, shape=None, axes=None, dtype='f',
-                 grid=None, donate=False, padding=False, pad_spectrum=False):
+                 grid=None, donate=False, padding=False, pad_spectrum=False,
+                 executor='auto'):
         shape = list(int(s) for s in shape)
         ndim = len(shape)
         if axes is None:
@@ -174,19 +193,171 @@ class PlanarPFFT(object):
         Mtot = float(np.prod([shape[a] for a in axes]))
         self._norm = 1.0 / Mtot
 
+        # -- executor: 'gspmd' traces one global program and lets GSPMD
+        # infer the collectives from sharding constraints; 'shard_map'
+        # writes the per-shard program with explicit lax.all_to_all
+        # transposes — required for multi-chip Pallas kernels (GSPMD
+        # cannot partition a pallas_call) and gives deterministic
+        # collective placement.  'auto' uses shard_map whenever the mesh
+        # is multi-device and every stage resharding divides evenly.
+        assert executor in ('auto', 'gspmd', 'shard_map')
+        nmesh = int(np.prod(self.subcomm.mesh.devices.shape))
+        shmap_ok = nmesh > 1 and self._shmap_divisible()
+        if executor == 'auto':
+            import os as _os
+            pref = _os.environ.get('MPI4PY_FFT_TPU_EXECUTOR', 'shard_map')
+            # never let auto change the output contract: shard_map forces
+            # the padded r2c spectrum, so require it to have been asked for
+            contract_safe = self._hpad_ext is None or self._pad_spectrum
+            executor = pref if (pref == 'shard_map' and shmap_ok
+                                and contract_safe) else 'gspmd'
+        elif executor == 'shard_map':
+            assert shmap_ok, (
+                "shard_map executor needs a multi-device mesh and evenly "
+                "divisible extents on every distributed axis")
+        self.executor = executor
+        if executor == 'shard_map' and self._hpad_ext is not None:
+            # per-shard programs cannot emit ragged boundary slices; the
+            # spectrum stays at the padded, evenly-shardable extent
+            self._pad_spectrum = True
+
         # donate=True reuses the input buffer's HBM for intermediates
         # (in-place semantics like FFTW_DESTROY_INPUT) — halves the
         # footprint for chip-filling transforms; the caller's input array
         # is invalidated after the call.
         dn = (0,) if donate else ()
-        self._jit_forward = jax.jit(self._forward_impl, static_argnums=(1,),
+        fwd = self._forward_shmap if executor == 'shard_map' \
+            else self._forward_impl
+        bwd = self._backward_shmap if executor == 'shard_map' \
+            else self._backward_impl
+        self._jit_forward = jax.jit(fwd, static_argnums=(1,),
                                     donate_argnums=dn)
-        self._jit_backward = jax.jit(self._backward_impl, static_argnums=(1,),
+        self._jit_backward = jax.jit(bwd, static_argnums=(1,),
                                      donate_argnums=dn)
 
     # ------------------------------------------------------------------
     def _padded(self, ax):
         return self._pad[ax] > 1.0 + 1e-8
+
+    def _shmap_divisible(self):
+        """True if every stage's extents divide evenly over the groups
+        sharding them (a shard_map program has uniform shard shapes)."""
+        spectral = list(self._output_shape)
+        if self._hpad_ext is not None:
+            spectral[self.axes[-1]] = self._hpad_ext
+        pens = [self.pencil[0]] + list(self.pencils)
+        shapes = [self.pencil[0].shape] + [tuple(spectral)] * len(self.pencils)
+        for pen, shp in zip(pens, shapes):
+            for i, c in enumerate(pen.subcomm):
+                if shp[i] % c.Get_size():
+                    return False
+        return True
+
+    # -- shard_map executor --------------------------------------------
+    def _transpose_lax(self, p, i, forward=True):
+        """Explicit pencil transpose pencils[i] <-> pencils[i+1]: one
+        tiled lax.all_to_all over the single participating group (role of
+        reference Transfer.forward/backward, pencil.py:168-201)."""
+        pa, pb = self.pencils[i], self.pencils[i + 1]
+        axA, axB = pa.axis, pb.axis
+        g = pa.subcomm[axB]
+        if g.name is None:
+            return p
+        if forward:
+            return lax.all_to_all(p, g.name, split_axis=1 + axA,
+                                  concat_axis=1 + axB, tiled=True)
+        return lax.all_to_all(p, g.name, split_axis=1 + axB,
+                              concat_axis=1 + axA, tiled=True)
+
+    def _forward_local(self, x, normalize):
+        """Per-shard forward program (runs under shard_map)."""
+        axes = self.axes
+        ax0 = axes[-1]
+        if self.real_transform:
+            N = self._input_shape[ax0]
+            p = jnp.stack([x, jnp.zeros_like(x)])
+            p = _local_fft1d(p, ax0, True)
+            p = p[_axslice(p, 1 + ax0, slice(0, N // 2 + 1))]
+            if self._padded(ax0):
+                p = truncate_planar(p, 1 + ax0, self._trunc[ax0] // 2 + 1,
+                                    hermitian=True)
+            if self._hpad_ext is not None:
+                pad = [(0, 0)] * p.ndim
+                pad[1 + ax0] = (0, self._hpad_ext - p.shape[1 + ax0])
+                p = jnp.pad(p, pad)
+        else:
+            p = _local_fft1d(x, ax0, True)
+            if self._padded(ax0):
+                p = truncate_planar(p, 1 + ax0, self._trunc[ax0],
+                                    hermitian=False)
+        for i, ax in enumerate(reversed(axes[:-1])):
+            p = self._transpose_lax(p, i, True)
+            p = _local_fft1d(p, ax, True)
+            if self._padded(ax):
+                p = truncate_planar(p, 1 + ax, self._trunc[ax],
+                                    hermitian=False)
+        if normalize:
+            p = p * np.asarray(self._norm, dtype=self.rdtype)
+        return p
+
+    def _backward_local(self, p, normalize):
+        """Per-shard backward program (runs under shard_map)."""
+        axes = self.axes
+        for i, ax in enumerate(axes[:-1]):
+            if self._padded(ax):
+                p = pad_planar(p, 1 + ax, self._input_shape[ax],
+                               hermitian=False)
+            p = _local_fft1d(p, ax, False)
+            p = self._transpose_lax(p, len(axes) - 2 - i, False)
+        ax0 = axes[-1]
+        if self._hpad_ext is not None:
+            p = p[_axslice(p, 1 + ax0, slice(0, self._output_shape[ax0]))]
+        if self.real_transform:
+            if self._padded(ax0):
+                p = pad_planar(p, 1 + ax0, self._input_shape[ax0] // 2 + 1,
+                               hermitian=True)
+            y = matfft.irfftn_p(p, (ax0,), self._input_shape[ax0])
+        else:
+            if self._padded(ax0):
+                p = pad_planar(p, 1 + ax0, self._input_shape[ax0],
+                               hermitian=False)
+            y = _local_fft1d(p, ax0, False)
+        if normalize:
+            y = y * np.asarray(self._norm, dtype=self.rdtype)
+        return y
+
+    def _phys_spec(self):
+        names = [c.name for c in self.pencil[0].subcomm]
+        if self.real_transform:
+            return PartitionSpec(*names)
+        return PartitionSpec(None, *names)
+
+    def _spec_spec(self):
+        return PartitionSpec(None, *[c.name for c in
+                                     self.pencils[-1].subcomm])
+
+    def _forward_shmap(self, x, normalize):
+        f = _shard_map(lambda q: self._forward_local(q, normalize),
+                       mesh=self.subcomm.mesh,
+                       in_specs=(self._phys_spec(),),
+                       out_specs=self._spec_spec())
+        return f(x)
+
+    def _backward_shmap(self, p, normalize):
+        hax = self.axes[-1]
+        if self._hpad_ext is not None and \
+                p.shape[1 + hax] != self._hpad_ext:
+            # legacy unpadded spectrum: pad at the XLA level before the
+            # per-shard program (may cost a gather; pass the padded form
+            # from forward() to avoid it)
+            pad = [(0, 0)] * p.ndim
+            pad[1 + hax] = (0, self._hpad_ext - p.shape[1 + hax])
+            p = jnp.pad(p, pad)
+        f = _shard_map(lambda q: self._backward_local(q, normalize),
+                       mesh=self.subcomm.mesh,
+                       in_specs=(self._spec_spec(),),
+                       out_specs=self._phys_spec())
+        return f(p)
 
     def _forward_impl(self, x, normalize):
         axes = self.axes
@@ -280,9 +451,13 @@ class PlanarPFFT(object):
 
     # pure path for composition under user jit
     def forward_fn(self, x, normalize=True):
+        if self.executor == 'shard_map':
+            return self._forward_shmap(x, normalize)
         return self._forward_impl(x, normalize)
 
     def backward_fn(self, p, normalize=False):
+        if self.executor == 'shard_map':
+            return self._backward_shmap(p, normalize)
         return self._backward_impl(p, normalize)
 
     def global_shape(self, forward_output=False):

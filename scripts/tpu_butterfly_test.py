@@ -39,7 +39,12 @@ def main():
         sync(y)
         tc = time.perf_counter() - t0
         if check_against is not None:
-            ref = np.asarray(jax.device_get(check_against(p)))
+            # force the einsum engine for the reference value
+            matfft.set_butterfly_mode('off')
+            try:
+                ref = np.asarray(jax.device_get(jax.jit(check_against)(p)))
+            finally:
+                matfft.set_butterfly_mode('auto')
             got = np.asarray(jax.device_get(y))
             rel = np.linalg.norm(got - ref) / max(np.linalg.norm(ref), 1e-30)
             relmsg = f" rel={rel:.2e}"

@@ -133,3 +133,56 @@ def test_r2c_pencil_no_allgather():
     bwd = jax.jit(lambda q: pfft.backward_fn(q, normalize=True))
     rt = np.asarray(bwd(y))
     assert np.linalg.norm(rt - np.asarray(x)) / np.linalg.norm(np.asarray(x)) < 1e-5
+
+
+@pytest.mark.parametrize("dt,grid", [('F', (4, 2)), ('f', (4, 2)),
+                                     ('F', (8,)), ('f', (2, 4))])
+def test_shardmap_executor_matches_gspmd(dt, grid):
+    """The explicit shard_map executor (lax.all_to_all transposes, local
+    transforms) must agree with the GSPMD executor and numpy."""
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device mesh")
+    rng = np.random.default_rng(11)
+    shape = (32, 32, 32)
+    if dt == 'F':
+        z = (rng.standard_normal(shape)
+             + 1j * rng.standard_normal(shape)).astype(np.complex64)
+        x = jnp.asarray(np.stack([z.real, z.imag]))
+        ref = np.fft.fftn(z)
+    else:
+        xr = rng.standard_normal(shape).astype(np.float32)
+        x = jnp.asarray(xr)
+        ref = np.fft.rfftn(xr)
+    outs = {}
+    for ex in ('gspmd', 'shard_map'):
+        pfft = PlanarPFFT(None, shape, dtype=dt, grid=grid, executor=ex,
+                          pad_spectrum=True)
+        y = pfft.forward(x, normalize=False)
+        got = np.asarray(y[0]) + 1j * np.asarray(y[1])
+        nh = ref.shape[-1]
+        assert np.linalg.norm(got[..., :nh] - ref) / np.linalg.norm(ref) < 1e-5
+        rt = pfft.backward(y, normalize=True)
+        assert np.linalg.norm(np.asarray(rt) - np.asarray(x)) \
+            / np.linalg.norm(np.asarray(x)) < 1e-5
+        outs[ex] = got
+    assert np.allclose(outs['gspmd'], outs['shard_map'], atol=1e-4)
+
+
+def test_shardmap_dealiasing():
+    """3/2-rule dealiasing under the shard_map executor: forward of the
+    padded transform equals truncation semantics (fixed point under
+    fwd∘bwd∘fwd, reference test_libfft.py:64-98 model)."""
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device mesh")
+    rng = np.random.default_rng(13)
+    shape = (16, 16, 16)
+    pfft = PlanarPFFT(None, shape, dtype='F', grid=(4, 2), padding=1.5,
+                      executor='shard_map')
+    z = (rng.standard_normal(shape)
+         + 1j * rng.standard_normal(shape)).astype(np.complex64)
+    p = jnp.asarray(np.stack([z.real, z.imag]))
+    yh = pfft.forward(p, normalize=True)
+    u = pfft.backward(yh, normalize=False)
+    yh2 = pfft.forward(u, normalize=True)
+    a, b = np.asarray(yh), np.asarray(yh2)
+    assert np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-30) < 1e-5
