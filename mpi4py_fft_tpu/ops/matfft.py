@@ -118,6 +118,81 @@ def _use_butterfly(shape, axis, dtype):
     return jax.default_backend() == 'tpu' and jax.device_count() == 1
 
 
+def _butterfly_large_split(shape, axis, dtype):
+    """For axes too long for the fused kernel (N > pb._MAX_N, pow2),
+    return (R, Q, dit) for the four-step split N = R*Q — an XLA-fused
+    outer DFT-R stage around the Q-point kernel — or None.  DIT
+    (kernel first) when there is no leading batch, DIF otherwise."""
+    from . import pallas_butterfly as pb
+    if _BFLY_MODE == 'off' or np.dtype(dtype) != np.float32:
+        return None
+    nd = len(shape)
+    axis = axis % nd
+    N = shape[axis]
+    Q = pb._MAX_N
+    if N <= Q or N & (N - 1):
+        return None
+    R = N // Q
+    if R > 4:
+        return None
+    pre = int(np.prod(shape[:axis], dtype=np.int64)) if axis else 1
+    if pre == 1:
+        sub = shape[:axis] + (Q, R) + shape[axis + 1:]
+        ok = pb.supported_axis(sub, axis, dtype)
+        dit = True
+    else:
+        sub = shape[:axis] + (R, Q) + shape[axis + 1:]
+        ok = pb.supported_axis(sub, axis + 1, dtype)
+        dit = False
+    if not ok:
+        return None
+    if _BFLY_MODE != 'on':
+        import jax
+        if not (jax.default_backend() == 'tpu' and jax.device_count() == 1):
+            return None
+    return (R, Q, dit)
+
+
+def _butterfly_large(p, axis, sign, split):
+    """Four-step long-axis transform: outer radix-R stage (XLA elementwise
+    + one einsum contraction, fused into a single HBM pass) around the
+    fused Q-point butterfly kernel, then one interleave transpose.
+
+    DIF (batch present): y[r, n2] = sum_n1 x[n1, n2] wR^(n1 r); twiddle
+    wN^(r n2); kernel over n2; X[k2*R + r] -> swap (R, Q), flatten.
+    DIT (pre == 1): kernel over n2 of x[n2, n1]; twiddle wN^(n1 k2);
+    combine over n1; X[k1*Q + k2] -> swap (Q, R), flatten.
+    """
+    from . import pallas_butterfly as pb
+    R, Q, dit = split
+    nd = p.ndim - 1
+    ax = 1 + (axis % nd)
+    N = p.shape[ax]
+    dtype_str = np.dtype(p.dtype).name
+    shape = p.shape
+    ntrail = p.ndim - ax - 1
+    if dit:
+        x = p.reshape(shape[:ax] + (Q, R) + shape[ax + 1:])
+        z = pb.fft_axis_p(x, ax - 1, forward=(sign == -1))   # complex coords
+        tw = _twiddle(R, Q, sign, dtype_str).swapaxes(1, 2)  # (2, Q, R)
+        tw = jnp.asarray(tw).reshape(
+            (2,) + (1,) * (ax - 1) + (Q, R) + (1,) * ntrail)
+        z = _pmul(z, tw)
+        c = _pmatstage_mid(z, jnp.asarray(_dft_matrix(R, sign, dtype_str)),
+                           ax + 1)                           # k1 at ax+1
+        c = jnp.swapaxes(c, ax, ax + 1)                      # (k1, k2)
+    else:
+        x = p.reshape(shape[:ax] + (R, Q) + shape[ax + 1:])
+        y = _pmatstage_mid(x, jnp.asarray(_dft_matrix(R, sign, dtype_str)),
+                           ax)                               # r at ax
+        tw = jnp.asarray(_twiddle(R, Q, sign, dtype_str)).reshape(
+            (2,) + (1,) * (ax - 1) + (R, Q) + (1,) * ntrail)
+        y = _pmul(y, tw)
+        c = pb.fft_axis_p(y, ax, forward=(sign == -1))       # k2 at ax+1
+        c = jnp.swapaxes(c, ax, ax + 1)                      # (k2, r)
+    return c.reshape(shape[:ax] + (N,) + shape[ax + 1:])
+
+
 # ---------------------------------------------------------------------------
 # constants (numpy, cached, f64-built)
 # ---------------------------------------------------------------------------
@@ -374,6 +449,9 @@ def fft1d_p(p, axis, forward=True):
     if _use_butterfly(p.shape[1:], axis, p.dtype):
         from . import pallas_butterfly as pb
         return pb.fft_axis_p(p, axis, forward)
+    split = _butterfly_large_split(p.shape[1:], axis, p.dtype)
+    if split is not None:
+        return _butterfly_large(p, axis, sign, split)
     if axis == nd - 1:
         return _fft_last_p(p, sign)
     if _MID_AXIS == 'einsum':

@@ -97,3 +97,48 @@ def test_roundtrip():
     err = np.linalg.norm(np.asarray(b) - np.asarray(p)) \
         / np.linalg.norm(np.asarray(p))
     assert err < 5e-6, err
+
+
+@pytest.mark.parametrize('shape,axis', [
+    ((512, 8, 128), 0),      # DIT (no leading batch)
+    ((8, 512, 128), 1),      # DIF middle
+    ((1024, 512), 1),        # DIF last
+    ((16, 1024, 128), 1),    # R=4 middle
+    ((2048, 1024), 1),       # R=4 last
+])
+@pytest.mark.parametrize('forward', [True, False])
+def test_four_step_large_axis(shape, axis, forward):
+    """N > 256 axes run as an XLA-fused outer DFT-R stage around the
+    Q=256 kernel (four-step algorithm); must match numpy."""
+    rng = np.random.default_rng(21)
+    z = (rng.standard_normal(shape)
+         + 1j * rng.standard_normal(shape)).astype(np.complex64)
+    p = jnp.asarray(np.stack([z.real, z.imag]))
+    matfft.set_butterfly_mode('on')
+    try:
+        split = matfft._butterfly_large_split(shape, axis, np.float32)
+        assert split is not None
+        y = matfft.fft1d_p(p, axis, forward)
+    finally:
+        matfft.set_butterfly_mode('auto')
+    got = np.asarray(y[0]) + 1j * np.asarray(y[1])
+    if forward:
+        ref = np.fft.fft(z, axis=axis)
+    else:
+        ref = np.fft.ifft(z, axis=axis) * shape[axis]
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 5e-6, rel
+
+
+def test_four_step_gates():
+    # post not 1024-divisible for DIT, R > 4, non-pow2, f64
+    matfft.set_butterfly_mode('on')
+    try:
+        ls = matfft._butterfly_large_split
+        assert ls((1024, 8, 16), 0, np.float32) is None
+        assert ls((8, 2048, 128), 1, np.float32) is None
+        assert ls((8, 768, 128), 1, np.float32) is None
+        assert ls((8, 512, 128), 1, np.float64) is None
+        assert ls((8, 512, 128), 1, np.float32) is not None
+    finally:
+        matfft.set_butterfly_mode('auto')
