@@ -440,25 +440,30 @@ def _fft_axis_einsum(p, axis, sign):
     return c.reshape(shape[:ax] + (N,) + shape[ax + 1:])
 
 
-def fft1d_p(p, axis, forward=True):
-    """Unnormalized planar c2c transform along ``axis`` of the complex
-    array (axis counted WITHOUT the leading planar dim)."""
+def fft1d_p(p, axis, forward=True, scale=None):
+    """Planar c2c transform along ``axis`` of the complex array (axis
+    counted WITHOUT the leading planar dim).  Unnormalized unless
+    ``scale`` is given (fused into the transform output — in-kernel for
+    the butterfly path, XLA-fused elementwise otherwise)."""
     sign = -1 if forward else +1
     nd = p.ndim - 1                 # complex rank
     axis = axis % nd
     if _use_butterfly(p.shape[1:], axis, p.dtype):
         from . import pallas_butterfly as pb
-        return pb.fft_axis_p(p, axis, forward)
+        return pb.fft_axis_p(p, axis, forward, scale=scale)
     split = _butterfly_large_split(p.shape[1:], axis, p.dtype)
     if split is not None:
-        return _butterfly_large(p, axis, sign, split)
-    if axis == nd - 1:
-        return _fft_last_p(p, sign)
-    if _MID_AXIS == 'einsum':
-        return _fft_axis_einsum(p, axis, sign)
-    p = jnp.moveaxis(p, 1 + axis, -1)
-    y = _fft_last_p(p, sign)
-    return jnp.moveaxis(y, -1, 1 + axis)
+        y = _butterfly_large(p, axis, sign, split)
+    elif axis == nd - 1:
+        y = _fft_last_p(p, sign)
+    elif _MID_AXIS == 'einsum':
+        y = _fft_axis_einsum(p, axis, sign)
+    else:
+        p = jnp.moveaxis(p, 1 + axis, -1)
+        y = jnp.moveaxis(_fft_last_p(p, sign), -1, 1 + axis)
+    if scale is not None:
+        y = y * np.asarray(scale, dtype=p.dtype)
+    return y
 
 
 def fftn_p(p, axes, forward=True):

@@ -75,6 +75,7 @@ def _tw_pack(N, sign, dtype_str):
 
     Per _stage_plan stage of radix r at length L, rows hold
     w_L^(j*l) for j = 1..r-1 concatenated (l < L/r), descending L.
+    Returned as (2, T); the caller broadcasts to pages.
     """
     rows_r, rows_i = [], []
     L = N
@@ -87,12 +88,13 @@ def _tw_pack(N, sign, dtype_str):
         L //= r
     cr = np.concatenate(rows_r)
     ci = np.concatenate(rows_i)
-    pack = np.stack([cr, ci])[:, :, None, None]
-    pack = np.broadcast_to(pack, (2, cr.shape[0], _SUB, _LANE))
-    return np.ascontiguousarray(pack.astype(dtype_str))
+    # small (2, T) literal; the page broadcast happens at run time so the
+    # HLO carries ~2KB instead of a 1MB constant (remote compiles upload
+    # and fold literals; big ones made pipeline compiles pathological)
+    return np.stack([cr, ci]).astype(dtype_str)
 
 
-def _butterfly(xr, xi, tw_ref, N, sign):
+def _butterfly(xr, xi, tw_ref, N, sign, scale=None):
     """Stockham mixed radix-4/2 over the leading axis of (N, 8, 128)
     pairs.  Sub-transform j of an (L, M) state computes frequencies
     k = k_local*M + j; a radix-r stage splits k_local = r*k'' + rr and
@@ -156,6 +158,9 @@ def _butterfly(xr, xi, tw_ref, N, sign):
                      y3r * w3i + y3i * w3r], axis=1)
         off += (r - 1) * Lq
         L = Lq
+    if scale is not None:
+        xr = xr * scale
+        xi = xi * scale
     return xr[0], xi[0]              # (N, 8, 128)
 
 
@@ -163,33 +168,33 @@ def _butterfly(xr, xi, tw_ref, N, sign):
 # kernel bodies (one per axis position)
 # ---------------------------------------------------------------------------
 
-def _kern_mid(x_ref, tw_ref, o_ref, *, N, sign):
+def _kern_mid(x_ref, tw_ref, o_ref, *, N, sign, scale):
     """Transform the sublane-adjacent middle axis: block (2, 8, N, 128)."""
     xr = jnp.transpose(x_ref[0], (1, 0, 2))   # (N, 8, 128) lead<->sublane
     xi = jnp.transpose(x_ref[1], (1, 0, 2))
-    r, i = _butterfly(xr, xi, tw_ref, N, sign)
+    r, i = _butterfly(xr, xi, tw_ref, N, sign, scale)
     o_ref[0] = jnp.transpose(r, (1, 0, 2))
     o_ref[1] = jnp.transpose(i, (1, 0, 2))
 
 
-def _kern_last(x_ref, tw_ref, o_ref, *, N, sign):
+def _kern_last(x_ref, tw_ref, o_ref, *, N, sign, scale):
     """Transform the lane (last) axis: block (2, R, N), R = 1024."""
     R = x_ref.shape[1]
     xs = []
     for p in range(2):
         x = jnp.swapaxes(x_ref[p], 0, 1)      # (N, R) full 2-D transpose
         xs.append(x.reshape(N, R // _LANE, _LANE))   # lane split
-    r, i = _butterfly(xs[0], xs[1], tw_ref, N, sign)
+    r, i = _butterfly(xs[0], xs[1], tw_ref, N, sign, scale)
     o_ref[0] = jnp.swapaxes(r.reshape(N, R), 0, 1)
     o_ref[1] = jnp.swapaxes(i.reshape(N, R), 0, 1)
 
 
-def _kern_lead(x_ref, tw_ref, o_ref, *, N, sign):
+def _kern_lead(x_ref, tw_ref, o_ref, *, N, sign, scale):
     """Transform the leading axis: block (2, N, Q), Q = 1024."""
     Q = x_ref.shape[2]
     xr = x_ref[0].reshape(N, Q // _LANE, _LANE)   # lane split; N leading
     xi = x_ref[1].reshape(N, Q // _LANE, _LANE)
-    r, i = _butterfly(xr, xi, tw_ref, N, sign)
+    r, i = _butterfly(xr, xi, tw_ref, N, sign, scale)
     o_ref[0] = r.reshape(N, Q)
     o_ref[1] = i.reshape(N, Q)
 
@@ -221,8 +226,9 @@ def supported_axis(shape, axis, dtype):
     return pre % _SUB == 0 and post % _LANE == 0
 
 
-@functools.partial(jax.jit, static_argnames=('axis', 'sign', 'interpret'))
-def _dispatch(p, axis, sign, interpret):
+@functools.partial(jax.jit,
+                   static_argnames=('axis', 'sign', 'interpret', 'scale'))
+def _dispatch(p, axis, sign, interpret, scale):
     shape = p.shape[1:]
     nd = len(shape)
     N = shape[axis]
@@ -230,8 +236,10 @@ def _dispatch(p, axis, sign, interpret):
     pre = int(np.prod(shape[:axis], dtype=np.int64)) if axis else 1
     post = int(np.prod(shape[axis + 1:], dtype=np.int64)) \
         if axis < nd - 1 else 1
-    tw = jnp.asarray(_tw_pack(N, sign, dtype_str))
-    tw_spec = pl.BlockSpec((2, tw.shape[1], _SUB, _LANE),
+    tw_small = jnp.asarray(_tw_pack(N, sign, dtype_str))
+    tw = jnp.broadcast_to(tw_small[:, :, None, None],
+                          (2, tw_small.shape[1], _SUB, _LANE))
+    tw_spec = pl.BlockSpec((2, tw_small.shape[1], _SUB, _LANE),
                            lambda *g: (0, 0, 0, 0),
                            memory_space=pltpu.VMEM)
 
@@ -239,7 +247,7 @@ def _dispatch(p, axis, sign, interpret):
         x = p.reshape(2, pre, N)
         R = _SUB * _LANE
         out = pl.pallas_call(
-            functools.partial(_kern_last, N=N, sign=sign),
+            functools.partial(_kern_last, N=N, sign=sign, scale=scale),
             out_shape=jax.ShapeDtypeStruct((2, pre, N), p.dtype),
             grid=(pre // R,),
             in_specs=[pl.BlockSpec((2, R, N), lambda i: (0, i, 0),
@@ -252,7 +260,7 @@ def _dispatch(p, axis, sign, interpret):
         x = p.reshape(2, N, post)
         Q = _SUB * _LANE
         out = pl.pallas_call(
-            functools.partial(_kern_lead, N=N, sign=sign),
+            functools.partial(_kern_lead, N=N, sign=sign, scale=scale),
             out_shape=jax.ShapeDtypeStruct((2, N, post), p.dtype),
             grid=(post // Q,),
             in_specs=[pl.BlockSpec((2, N, Q), lambda i: (0, 0, i),
@@ -264,7 +272,7 @@ def _dispatch(p, axis, sign, interpret):
     else:
         x = p.reshape(2, pre, N, post)
         out = pl.pallas_call(
-            functools.partial(_kern_mid, N=N, sign=sign),
+            functools.partial(_kern_mid, N=N, sign=sign, scale=scale),
             out_shape=jax.ShapeDtypeStruct((2, pre, N, post), p.dtype),
             grid=(pre // _SUB, post // _LANE),
             in_specs=[pl.BlockSpec((2, _SUB, N, _LANE),
@@ -278,15 +286,18 @@ def _dispatch(p, axis, sign, interpret):
     return out.reshape(p.shape)
 
 
-def fft_axis_p(p, axis, forward=True, interpret=None):
+def fft_axis_p(p, axis, forward=True, interpret=None, scale=None):
     """Planar c2c FFT along ``axis`` (complex coords) of (2, ...) data.
 
-    Requires ``supported_axis(p.shape[1:], axis, p.dtype)``.  Unnormalized;
-    forward=False is the unscaled inverse.  2 HBM passes, VPU butterflies.
+    Requires ``supported_axis(p.shape[1:], axis, p.dtype)``.  Unnormalized
+    unless ``scale`` is given (applied in-VMEM in the final stage — saves
+    the separate normalization HBM pass).  forward=False is the unscaled
+    inverse.  2 HBM passes, VPU butterflies.
     """
     nd = p.ndim - 1
     axis = axis % nd
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
     sign = -1 if forward else +1
-    return _dispatch(p, axis, sign, interpret)
+    return _dispatch(p, axis, sign, interpret,
+                     None if scale is None else float(scale))

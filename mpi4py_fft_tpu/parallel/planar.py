@@ -36,15 +36,15 @@ from .comm import COMM_WORLD
 __all__ = ['PlanarPFFT']
 
 
-def _local_fft1d(p, ax, forward):
+def _local_fft1d(p, ax, forward, scale=None):
     """Per-shard 1-D planar transform with explicit butterfly-kernel
     dispatch (inside shard_map the engine's single-device auto check does
     not apply — local shard shapes decide kernel support)."""
     from ..ops import pallas_butterfly as pb
     if (matfft._BFLY_MODE != 'off' and jax.default_backend() == 'tpu'
             and pb.supported_axis(p.shape[1:], ax, p.dtype)):
-        return pb.fft_axis_p(p, ax, forward)
-    return matfft.fft1d_p(p, ax, forward)
+        return pb.fft_axis_p(p, ax, forward, scale=scale)
+    return matfft.fft1d_p(p, ax, forward, scale=scale)
 
 
 def _axslice(p, ax, sl):
@@ -290,13 +290,17 @@ class PlanarPFFT(object):
             if self._padded(ax0):
                 p = truncate_planar(p, 1 + ax0, self._trunc[ax0],
                                     hermitian=False)
+        nmid = len(axes) - 1
+        folded = False
         for i, ax in enumerate(reversed(axes[:-1])):
+            sc = self._norm if (normalize and i == nmid - 1) else None
+            folded = folded or sc is not None
             p = self._transpose_lax(p, i, True)
-            p = _local_fft1d(p, ax, True)
+            p = _local_fft1d(p, ax, True, scale=sc)
             if self._padded(ax):
                 p = truncate_planar(p, 1 + ax, self._trunc[ax],
                                     hermitian=False)
-        if normalize:
+        if normalize and not folded:
             p = p * np.asarray(self._norm, dtype=self.rdtype)
         return p
 
@@ -317,13 +321,14 @@ class PlanarPFFT(object):
                 p = pad_planar(p, 1 + ax0, self._input_shape[ax0] // 2 + 1,
                                hermitian=True)
             y = matfft.irfftn_p(p, (ax0,), self._input_shape[ax0])
+            if normalize:
+                y = y * np.asarray(self._norm, dtype=self.rdtype)
         else:
             if self._padded(ax0):
                 p = pad_planar(p, 1 + ax0, self._input_shape[ax0],
                                hermitian=False)
-            y = _local_fft1d(p, ax0, False)
-        if normalize:
-            y = y * np.asarray(self._norm, dtype=self.rdtype)
+            y = _local_fft1d(p, ax0, False,
+                             scale=self._norm if normalize else None)
         return y
 
     def _phys_spec(self):
@@ -384,12 +389,17 @@ class PlanarPFFT(object):
                     p = truncate_planar(p, 1 + ax0, self._trunc[ax0],
                                         hermitian=False)
                 p = self.pencils[0].constrain(p, rank=1)
+        nmid = len(axes) - 1
+        folded = False
         for i, ax in enumerate(reversed(axes[:-1])):
             pen = self.pencils[i + 1]
+            last = (i == nmid - 1)
+            sc = self._norm if (normalize and last) else None
+            folded = folded or sc is not None
             with jax.named_scope(f"planar_transpose{i}"):
                 p = pen.constrain(p, rank=1)
             with jax.named_scope(f"planar_stage{i + 1}"):
-                p = matfft.fft1d_p(p, ax, True)
+                p = matfft.fft1d_p(p, ax, True, scale=sc)
                 if self._padded(ax):
                     p = truncate_planar(p, 1 + ax, self._trunc[ax],
                                         hermitian=False)
@@ -397,7 +407,7 @@ class PlanarPFFT(object):
         if self._hpad_ext is not None and not self._pad_spectrum:
             p = p[_axslice(p, 1 + ax0, slice(0, self._output_shape[ax0]))]
             p = self.pencils[-1].constrain(p, rank=1)
-        if normalize:
+        if normalize and not folded:
             p = p * np.asarray(self._norm, dtype=self.rdtype)
         return p
 
@@ -430,14 +440,15 @@ class PlanarPFFT(object):
                                    hermitian=True)
                 y = matfft.irfftn_p(p, (ax0,), self._input_shape[ax0])
                 y = self.pencil[0].constrain(y)
+                if normalize:
+                    y = y * np.asarray(self._norm, dtype=self.rdtype)
             else:
                 if self._padded(ax0):
                     p = pad_planar(p, 1 + ax0, self._input_shape[ax0],
                                    hermitian=False)
-                y = matfft.fft1d_p(p, ax0, False)
+                y = matfft.fft1d_p(p, ax0, False,
+                                   scale=self._norm if normalize else None)
                 y = self.pencil[0].constrain(y, rank=1)
-        if normalize:
-            y = y * np.asarray(self._norm, dtype=self.rdtype)
         return y
 
     # ------------------------------------------------------------------
