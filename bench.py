@@ -48,7 +48,7 @@ def main():
     def sync(v):
         # scalar D2H fetch: forces the full ordered execution queue to
         # drain (block_until_ready is unreliable on tunneled platforms)
-        return float(np.asarray(jax.device_get(v[0, 0, 0, :1])))
+        return float(np.asarray(jax.device_get(v[0, 0, 0, :1]))[0])
 
     y = fwd(p)
     sync(y)  # compile + warmup
