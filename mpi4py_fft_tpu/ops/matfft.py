@@ -472,36 +472,66 @@ def fftn_p(p, axes, forward=True):
     return p
 
 
-def rfftn_p(x, axes):
-    """Real input -> planar half spectrum; axes[-1] halved to N//2+1."""
+def rfftn_p(x, axes, hext=None):
+    """Real input -> planar half spectrum; axes[-1] halved to N//2+1
+    (or zero-padded rows up to ``hext`` when given)."""
     a_last = axes[-1] % x.ndim
     N = x.shape[a_last]
-    p = jnp.stack([x, jnp.zeros_like(x)])
-    y = fft1d_p(p, a_last, forward=True)
-    sl = [slice(None)] * y.ndim
-    sl[1 + a_last] = slice(0, N // 2 + 1)
-    y = y[tuple(sl)]
+    if _use_butterfly(x.shape, a_last, x.dtype):
+        from . import pallas_butterfly as pb
+        y = pb.rfft_axis_p(x, a_last, hext=hext)
+    else:
+        p = jnp.stack([x, jnp.zeros_like(x)])
+        y = fft1d_p(p, a_last, forward=True)
+        sl = [slice(None)] * y.ndim
+        sl[1 + a_last] = slice(0, N // 2 + 1)
+        y = y[tuple(sl)]
+        if hext is not None and hext > N // 2 + 1:
+            pad = [(0, 0)] * y.ndim
+            pad[1 + a_last] = (0, hext - (N // 2 + 1))
+            y = jnp.pad(y, pad)
     for a in axes[:-1]:
         y = fft1d_p(y, a, forward=True)
     return y
 
 
-def irfftn_p(p, axes, last_size):
-    """Planar half spectrum -> real output of length ``last_size``."""
+def _use_butterfly_c2r(shape, axis, n, dtype):
+    if _BFLY_MODE == 'off':
+        return False
+    from . import pallas_butterfly as pb
+    if not pb.supported_c2r(shape, axis, n, dtype):
+        return False
+    if _BFLY_MODE == 'on':
+        return True
+    import jax
+    return jax.default_backend() == 'tpu' and jax.device_count() == 1
+
+
+def irfftn_p(p, axes, last_size, scale=None):
+    """Planar half spectrum -> real output of length ``last_size``.
+    Input rows beyond N//2+1 along axes[-1] (shardable-extent padding)
+    are ignored; ``scale`` is fused into the output."""
     for a in axes[:-1]:
         p = fft1d_p(p, a, forward=False)
     nd = p.ndim - 1
     a_last = axes[-1] % nd
     N = int(last_size)
+    if _use_butterfly_c2r(p.shape[1:], a_last, N, p.dtype):
+        from . import pallas_butterfly as pb
+        return pb.irfft_axis_p(p, a_last, N, scale=scale)
+    nh = N // 2 + 1
+    sl = [slice(None)] * p.ndim
+    sl[1 + a_last] = slice(0, nh)
+    p = p[tuple(sl)]
     H = jnp.moveaxis(p, 1 + a_last, -1)
-    nh = H.shape[-1]
-    assert nh == N // 2 + 1, (nh, N)
     # Hermitian extension: X[N-k] = conj(X[k]), k = 1..ceil(N/2)-1
     tail_r = H[0][..., 1:(N + 1) // 2][..., ::-1]
     tail_i = -H[1][..., 1:(N + 1) // 2][..., ::-1]
     full = jnp.stack([jnp.concatenate([H[0], tail_r], axis=-1),
                       jnp.concatenate([H[1], tail_i], axis=-1)])
     y = _fft_last_p(full, +1)[0]    # real part of the inverse
+    if scale is not None:
+        y = y * np.asarray(scale, dtype=y.dtype)
     return jnp.moveaxis(y, -1, a_last)
 
 

@@ -42,11 +42,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ['fft_axis_p', 'supported_axis']
+__all__ = ['fft_axis_p', 'supported_axis', 'rfft_axis_p',
+           'irfft_axis_p', 'supported_c2r']
 
 _LANE = 128
 _SUB = 8
 _MAX_N = 256           # VMEM bound: tile + twiddle pack + state temps
+
+import os as _os
+# last-axis kernel variant: '1' = (1024, N) 2-D transpose, '2' = two
+# tile-local moves on (8, 128, N) blocks.  A/B-tested on hardware.
+_LAST_VARIANT = _os.environ.get('MPI4PY_FFT_TPU_LAST_VARIANT', '1')
 
 
 def _is_pow2(n):
@@ -189,14 +195,25 @@ def _kern_last(x_ref, tw_ref, o_ref, *, N, sign, scale):
     o_ref[1] = jnp.swapaxes(i.reshape(N, R), 0, 1)
 
 
+def _kern_last2(x_ref, tw_ref, o_ref, *, N, sign, scale):
+    """Last-axis variant: block (2, 8, 128, N); two tile-local moves
+    (last-two swap + leading<->sublane) instead of one (1024, N) 2-D
+    transpose."""
+    xs = []
+    for p in range(2):
+        x = jnp.swapaxes(x_ref[p], 1, 2)          # (8, N, 128)
+        xs.append(jnp.transpose(x, (1, 0, 2)))    # (N, 8, 128)
+    r, i = _butterfly(xs[0], xs[1], tw_ref, N, sign, scale)
+    o_ref[0] = jnp.swapaxes(jnp.transpose(r, (1, 0, 2)), 1, 2)
+    o_ref[1] = jnp.swapaxes(jnp.transpose(i, (1, 0, 2)), 1, 2)
+
+
 def _kern_lead(x_ref, tw_ref, o_ref, *, N, sign, scale):
-    """Transform the leading axis: block (2, N, Q), Q = 1024."""
-    Q = x_ref.shape[2]
-    xr = x_ref[0].reshape(N, Q // _LANE, _LANE)   # lane split; N leading
-    xi = x_ref[1].reshape(N, Q // _LANE, _LANE)
-    r, i = _butterfly(xr, xi, tw_ref, N, sign, scale)
-    o_ref[0] = r.reshape(N, Q)
-    o_ref[1] = i.reshape(N, Q)
+    """Transform the leading axis: block (2, N, 8, 128) — already the
+    native state layout; no in-kernel relayout at all."""
+    r, i = _butterfly(x_ref[0], x_ref[1], tw_ref, N, sign, scale)
+    o_ref[0] = r
+    o_ref[1] = i
 
 
 # ---------------------------------------------------------------------------
@@ -244,6 +261,22 @@ def _dispatch(p, axis, sign, interpret, scale):
                            memory_space=pltpu.VMEM)
 
     if post == 1:
+        if _LAST_VARIANT == '2':
+            x = p.reshape(2, pre // _LANE, _LANE, N)
+            out = pl.pallas_call(
+                functools.partial(_kern_last2, N=N, sign=sign, scale=scale),
+                out_shape=jax.ShapeDtypeStruct(
+                    (2, pre // _LANE, _LANE, N), p.dtype),
+                grid=(pre // (_SUB * _LANE),),
+                in_specs=[pl.BlockSpec((2, _SUB, _LANE, N),
+                                       lambda i: (0, i, 0, 0),
+                                       memory_space=pltpu.VMEM), tw_spec],
+                out_specs=pl.BlockSpec((2, _SUB, _LANE, N),
+                                       lambda i: (0, i, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                interpret=interpret,
+            )(x, tw)
+            return out.reshape(p.shape)
         x = p.reshape(2, pre, N)
         R = _SUB * _LANE
         out = pl.pallas_call(
@@ -257,15 +290,17 @@ def _dispatch(p, axis, sign, interpret, scale):
             interpret=interpret,
         )(x, tw)
     elif pre == 1:
-        x = p.reshape(2, N, post)
-        Q = _SUB * _LANE
+        x = p.reshape(2, N, post // _LANE, _LANE)
         out = pl.pallas_call(
             functools.partial(_kern_lead, N=N, sign=sign, scale=scale),
-            out_shape=jax.ShapeDtypeStruct((2, N, post), p.dtype),
-            grid=(post // Q,),
-            in_specs=[pl.BlockSpec((2, N, Q), lambda i: (0, 0, i),
+            out_shape=jax.ShapeDtypeStruct((2, N, post // _LANE, _LANE),
+                                           p.dtype),
+            grid=(post // (_SUB * _LANE),),
+            in_specs=[pl.BlockSpec((2, N, _SUB, _LANE),
+                                   lambda i: (0, 0, i, 0),
                                    memory_space=pltpu.VMEM), tw_spec],
-            out_specs=pl.BlockSpec((2, N, Q), lambda i: (0, 0, i),
+            out_specs=pl.BlockSpec((2, N, _SUB, _LANE),
+                                   lambda i: (0, 0, i, 0),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
         )(x, tw)
@@ -301,3 +336,253 @@ def fft_axis_p(p, axis, forward=True, interpret=None, scale=None):
     sign = -1 if forward else +1
     return _dispatch(p, axis, sign, interpret,
                      None if scale is None else float(scale))
+
+
+# ---------------------------------------------------------------------------
+# r2c / c2r kernels — real-typed HBM traffic on the real side
+# ---------------------------------------------------------------------------
+#
+# The r2c stage reads a REAL block (half the planar bytes), runs the c2c
+# butterfly with a zero imaginary part, and writes only the Hermitian
+# half (rows < N//2+1, optionally zero-padded to ``hext`` so the pencil
+# pipeline's shardable-extent padding is free).  The c2r stage reads the
+# half-spectrum, rebuilds the full row set from Hermitian symmetry
+# in-VMEM (leading-dim flip + concat), and writes only the real part.
+# Reference semantics: fftw r2c/c2r guru plans (fftw_planxfftn.c:41-66).
+
+def _hermitian_rows(hr, hi, N, nh):
+    """Extend (nh, 8, 128) half-spectrum rows to the full N rows:
+    X[N-k] = conj(X[k]) for k = 1..ceil(N/2)-1."""
+    tail_r = jnp.flip(hr[1:(N + 1) // 2], axis=0)
+    tail_i = -jnp.flip(hi[1:(N + 1) // 2], axis=0)
+    return (jnp.concatenate([hr, tail_r], axis=0),
+            jnp.concatenate([hi, tail_i], axis=0))
+
+
+def _r2c_rows(xr, tw_ref, N, nh, hext, scale):
+    """Real rows (N, 8, 128) -> half-spectrum planar rows (2, hext, ...)."""
+    r, i = _butterfly(xr, jnp.zeros_like(xr), tw_ref, N, -1, scale)
+    r, i = r[:nh], i[:nh]
+    if hext > nh:
+        z = jnp.zeros((hext - nh,) + r.shape[1:], r.dtype)
+        r = jnp.concatenate([r, z], axis=0)
+        i = jnp.concatenate([i, z], axis=0)
+    return r, i
+
+
+def _kern_mid_r2c(x_ref, tw_ref, o_ref, *, N, nh, hext, scale):
+    xr = jnp.transpose(x_ref[...], (1, 0, 2))     # (N, 8, 128)
+    r, i = _r2c_rows(xr, tw_ref, N, nh, hext, scale)
+    o_ref[0] = jnp.transpose(r, (1, 0, 2))
+    o_ref[1] = jnp.transpose(i, (1, 0, 2))
+
+
+def _kern_lead_r2c(x_ref, tw_ref, o_ref, *, N, nh, hext, scale):
+    r, i = _r2c_rows(x_ref[...], tw_ref, N, nh, hext, scale)
+    o_ref[0] = r
+    o_ref[1] = i
+
+
+def _kern_last_r2c(x_ref, tw_ref, o_ref, *, N, nh, hext, scale):
+    R = x_ref.shape[0]
+    x = jnp.swapaxes(x_ref[...], 0, 1)            # (N, R)
+    xr = x.reshape(N, R // _LANE, _LANE)
+    r, i = _r2c_rows(xr, tw_ref, N, nh, hext, scale)
+    o_ref[0] = jnp.swapaxes(r.reshape(hext, R), 0, 1)
+    o_ref[1] = jnp.swapaxes(i.reshape(hext, R), 0, 1)
+
+
+def _kern_mid_c2r(x_ref, tw_ref, o_ref, *, N, nh, scale):
+    hr = jnp.transpose(x_ref[0], (1, 0, 2))[:nh]  # (nh, 8, 128)
+    hi = jnp.transpose(x_ref[1], (1, 0, 2))[:nh]
+    fr, fi = _hermitian_rows(hr, hi, N, nh)
+    r, _ = _butterfly(fr, fi, tw_ref, N, +1, scale)
+    o_ref[...] = jnp.transpose(r, (1, 0, 2))
+
+
+def _kern_lead_c2r(x_ref, tw_ref, o_ref, *, N, nh, scale):
+    fr, fi = _hermitian_rows(x_ref[0][:nh], x_ref[1][:nh], N, nh)
+    r, _ = _butterfly(fr, fi, tw_ref, N, +1, scale)
+    o_ref[...] = r
+
+
+def _kern_last_c2r(x_ref, tw_ref, o_ref, *, N, nh, scale):
+    R = x_ref.shape[1]
+    Hin = x_ref.shape[2]
+    hs = []
+    for p in range(2):
+        h = jnp.swapaxes(x_ref[p], 0, 1)          # (Hin, R)
+        hs.append(h.reshape(Hin, R // _LANE, _LANE)[:nh])
+    fr, fi = _hermitian_rows(hs[0], hs[1], N, nh)
+    r, _ = _butterfly(fr, fi, tw_ref, N, +1, scale)
+    o_ref[...] = jnp.swapaxes(r.reshape(N, R), 0, 1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('axis', 'hext', 'interpret', 'scale'))
+def _dispatch_r2c(x, axis, hext, interpret, scale):
+    shape = x.shape
+    nd = len(shape)
+    N = shape[axis]
+    nh = N // 2 + 1
+    dtype_str = np.dtype(x.dtype).name
+    pre = int(np.prod(shape[:axis], dtype=np.int64)) if axis else 1
+    post = int(np.prod(shape[axis + 1:], dtype=np.int64)) \
+        if axis < nd - 1 else 1
+    tw_small = jnp.asarray(_tw_pack(N, -1, dtype_str))
+    tw = jnp.broadcast_to(tw_small[:, :, None, None],
+                          (2, tw_small.shape[1], _SUB, _LANE))
+    tw_spec = pl.BlockSpec((2, tw_small.shape[1], _SUB, _LANE),
+                           lambda *g: (0, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    kw = dict(N=N, nh=nh, hext=hext, scale=scale)
+    if post == 1:
+        xg = x.reshape(pre, N)
+        R = _SUB * _LANE
+        out = pl.pallas_call(
+            functools.partial(_kern_last_r2c, **kw),
+            out_shape=jax.ShapeDtypeStruct((2, pre, hext), x.dtype),
+            grid=(pre // R,),
+            in_specs=[pl.BlockSpec((R, N), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM), tw_spec],
+            out_specs=pl.BlockSpec((2, R, hext), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(xg, tw)
+        return out.reshape((2,) + shape[:axis] + (hext,))
+    if pre == 1:
+        xg = x.reshape(N, post // _LANE, _LANE)
+        out = pl.pallas_call(
+            functools.partial(_kern_lead_r2c, **kw),
+            out_shape=jax.ShapeDtypeStruct(
+                (2, hext, post // _LANE, _LANE), x.dtype),
+            grid=(post // (_SUB * _LANE),),
+            in_specs=[pl.BlockSpec((N, _SUB, _LANE), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM), tw_spec],
+            out_specs=pl.BlockSpec((2, hext, _SUB, _LANE),
+                                   lambda i: (0, 0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(xg, tw)
+        return out.reshape((2, hext) + shape[axis + 1:])
+    xg = x.reshape(pre, N, post)
+    out = pl.pallas_call(
+        functools.partial(_kern_mid_r2c, **kw),
+        out_shape=jax.ShapeDtypeStruct((2, pre, hext, post), x.dtype),
+        grid=(pre // _SUB, post // _LANE),
+        in_specs=[pl.BlockSpec((_SUB, N, _LANE), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM), tw_spec],
+        out_specs=pl.BlockSpec((2, _SUB, hext, _LANE),
+                               lambda i, j: (0, i, 0, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xg, tw)
+    return out.reshape((2,) + shape[:axis] + (hext,) + shape[axis + 1:])
+
+
+def rfft_axis_p(x, axis, hext=None, scale=None, interpret=None):
+    """Real array -> planar Hermitian half-spectrum along ``axis``.
+
+    Output extent is ``hext`` (>= N//2+1; default N//2+1) with exact zero
+    rows beyond N//2+1 — the pencil pipeline's shardable-extent padding
+    comes out of the kernel for free.  Requires ``supported_axis`` on the
+    real input shape.
+    """
+    nd = x.ndim
+    axis = axis % nd
+    N = x.shape[axis]
+    nh = N // 2 + 1
+    if hext is None:
+        hext = nh
+    assert hext >= nh
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    return _dispatch_r2c(x, axis, int(hext), interpret,
+                         None if scale is None else float(scale))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('axis', 'n', 'interpret', 'scale'))
+def _dispatch_c2r(p, axis, n, interpret, scale):
+    shape = p.shape[1:]
+    nd = len(shape)
+    N = n
+    nh = N // 2 + 1
+    Hin = shape[axis]
+    dtype_str = np.dtype(p.dtype).name
+    pre = int(np.prod(shape[:axis], dtype=np.int64)) if axis else 1
+    post = int(np.prod(shape[axis + 1:], dtype=np.int64)) \
+        if axis < nd - 1 else 1
+    tw_small = jnp.asarray(_tw_pack(N, +1, dtype_str))
+    tw = jnp.broadcast_to(tw_small[:, :, None, None],
+                          (2, tw_small.shape[1], _SUB, _LANE))
+    tw_spec = pl.BlockSpec((2, tw_small.shape[1], _SUB, _LANE),
+                           lambda *g: (0, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    kw = dict(N=N, nh=nh, scale=scale)
+    out_shape = shape[:axis] + (N,) + shape[axis + 1:]
+    if post == 1:
+        xg = p.reshape(2, pre, Hin)
+        R = _SUB * _LANE
+        out = pl.pallas_call(
+            functools.partial(_kern_last_c2r, **kw),
+            out_shape=jax.ShapeDtypeStruct((pre, N), p.dtype),
+            grid=(pre // R,),
+            in_specs=[pl.BlockSpec((2, R, Hin), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM), tw_spec],
+            out_specs=pl.BlockSpec((R, N), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(xg, tw)
+    elif pre == 1:
+        xg = p.reshape(2, Hin, post // _LANE, _LANE)
+        out = pl.pallas_call(
+            functools.partial(_kern_lead_c2r, **kw),
+            out_shape=jax.ShapeDtypeStruct(
+                (N, post // _LANE, _LANE), p.dtype),
+            grid=(post // (_SUB * _LANE),),
+            in_specs=[pl.BlockSpec((2, Hin, _SUB, _LANE),
+                                   lambda i: (0, 0, i, 0),
+                                   memory_space=pltpu.VMEM), tw_spec],
+            out_specs=pl.BlockSpec((N, _SUB, _LANE), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(xg, tw)
+    else:
+        xg = p.reshape(2, pre, Hin, post)
+        out = pl.pallas_call(
+            functools.partial(_kern_mid_c2r, **kw),
+            out_shape=jax.ShapeDtypeStruct((pre, N, post), p.dtype),
+            grid=(pre // _SUB, post // _LANE),
+            in_specs=[pl.BlockSpec((2, _SUB, Hin, _LANE),
+                                   lambda i, j: (0, i, 0, j),
+                                   memory_space=pltpu.VMEM), tw_spec],
+            out_specs=pl.BlockSpec((_SUB, N, _LANE),
+                                   lambda i, j: (i, 0, j),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(xg, tw)
+    return out.reshape(out_shape)
+
+
+def supported_c2r(shape, axis, n, dtype):
+    """Gate for ``irfft_axis_p``: shape is the complex (planar-less)
+    spectrum shape; ``n`` the real output length."""
+    nd = len(shape)
+    axis = axis % nd
+    if shape[axis] < n // 2 + 1:
+        return False
+    full = shape[:axis] + (n,) + shape[axis + 1:]
+    return supported_axis(full, axis, dtype)
+
+
+def irfft_axis_p(p, axis, n, scale=None, interpret=None):
+    """Planar Hermitian half-spectrum -> real array of length ``n`` along
+    ``axis``.  Input rows beyond n//2+1 (shardable-extent padding) are
+    ignored.  Unscaled inverse unless ``scale`` is given (in-VMEM)."""
+    nd = p.ndim - 1
+    axis = axis % nd
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    return _dispatch_c2r(p, axis, int(n), interpret,
+                         None if scale is None else float(scale))

@@ -47,6 +47,32 @@ def _local_fft1d(p, ax, forward, scale=None):
     return matfft.fft1d_p(p, ax, forward, scale=scale)
 
 
+def _local_rfft(x, ax, hext=None):
+    """Per-shard r2c with explicit kernel dispatch (see _local_fft1d)."""
+    from ..ops import pallas_butterfly as pb
+    if (matfft._BFLY_MODE != 'off' and jax.default_backend() == 'tpu'
+            and pb.supported_axis(x.shape, ax, x.dtype)):
+        return pb.rfft_axis_p(x, ax, hext=hext)
+    N = x.shape[ax]
+    p = jnp.stack([x, jnp.zeros_like(x)])
+    p = matfft.fft1d_p(p, ax, True)
+    p = p[_axslice(p, 1 + ax, slice(0, N // 2 + 1))]
+    if hext is not None and hext > N // 2 + 1:
+        pad = [(0, 0)] * p.ndim
+        pad[1 + ax] = (0, hext - (N // 2 + 1))
+        p = jnp.pad(p, pad)
+    return p
+
+
+def _local_irfft(p, ax, n, scale=None):
+    """Per-shard c2r with explicit kernel dispatch (see _local_fft1d)."""
+    from ..ops import pallas_butterfly as pb
+    if (matfft._BFLY_MODE != 'off' and jax.default_backend() == 'tpu'
+            and pb.supported_c2r(p.shape[1:], ax, n, p.dtype)):
+        return pb.irfft_axis_p(p, ax, n, scale=scale)
+    return matfft.irfftn_p(p, (ax,), n, scale=scale)
+
+
 def _axslice(p, ax, sl):
     s = [slice(None)] * p.ndim
     s[ax] = sl
@@ -274,17 +300,16 @@ class PlanarPFFT(object):
         axes = self.axes
         ax0 = axes[-1]
         if self.real_transform:
-            N = self._input_shape[ax0]
-            p = jnp.stack([x, jnp.zeros_like(x)])
-            p = _local_fft1d(p, ax0, True)
-            p = p[_axslice(p, 1 + ax0, slice(0, N // 2 + 1))]
             if self._padded(ax0):
+                p = _local_rfft(x, ax0)
                 p = truncate_planar(p, 1 + ax0, self._trunc[ax0] // 2 + 1,
                                     hermitian=True)
-            if self._hpad_ext is not None:
-                pad = [(0, 0)] * p.ndim
-                pad[1 + ax0] = (0, self._hpad_ext - p.shape[1 + ax0])
-                p = jnp.pad(p, pad)
+                if self._hpad_ext is not None:
+                    pad = [(0, 0)] * p.ndim
+                    pad[1 + ax0] = (0, self._hpad_ext - p.shape[1 + ax0])
+                    p = jnp.pad(p, pad)
+            else:
+                p = _local_rfft(x, ax0, hext=self._hpad_ext)
         else:
             p = _local_fft1d(x, ax0, True)
             if self._padded(ax0):
@@ -320,9 +345,8 @@ class PlanarPFFT(object):
             if self._padded(ax0):
                 p = pad_planar(p, 1 + ax0, self._input_shape[ax0] // 2 + 1,
                                hermitian=True)
-            y = matfft.irfftn_p(p, (ax0,), self._input_shape[ax0])
-            if normalize:
-                y = y * np.asarray(self._norm, dtype=self.rdtype)
+            y = _local_irfft(p, ax0, self._input_shape[ax0],
+                             scale=self._norm if normalize else None)
         else:
             if self._padded(ax0):
                 p = pad_planar(p, 1 + ax0, self._input_shape[ax0],
@@ -438,10 +462,9 @@ class PlanarPFFT(object):
                     p = pad_planar(p, 1 + ax0,
                                    self._input_shape[ax0] // 2 + 1,
                                    hermitian=True)
-                y = matfft.irfftn_p(p, (ax0,), self._input_shape[ax0])
+                y = matfft.irfftn_p(p, (ax0,), self._input_shape[ax0],
+                                    scale=self._norm if normalize else None)
                 y = self.pencil[0].constrain(y)
-                if normalize:
-                    y = y * np.asarray(self._norm, dtype=self.rdtype)
             else:
                 if self._padded(ax0):
                     p = pad_planar(p, 1 + ax0, self._input_shape[ax0],

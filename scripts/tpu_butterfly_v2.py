@@ -92,3 +92,4 @@ def main():
 
 if __name__ == '__main__':
     main()
+# (appended A/B section driven via env in separate runs)
