@@ -53,6 +53,9 @@ import os as _os
 # last-axis kernel variant: '1' = (1024, N) 2-D transpose, '2' = two
 # tile-local moves on (8, 128, N) blocks.  A/B-tested on hardware.
 _LAST_VARIANT = _os.environ.get('MPI4PY_FFT_TPU_LAST_VARIANT', '1')
+# lead-axis variant: '1' = (2, N, 1024) block + in-kernel lane split,
+# '2' = native (2, N, 8, 128) blocks (no in-kernel relayout).
+_LEAD_VARIANT = _os.environ.get('MPI4PY_FFT_TPU_LEAD_VARIANT', '2')
 
 
 def _is_pow2(n):
@@ -216,6 +219,16 @@ def _kern_lead(x_ref, tw_ref, o_ref, *, N, sign, scale):
     o_ref[1] = i
 
 
+def _kern_lead1(x_ref, tw_ref, o_ref, *, N, sign, scale):
+    """Lead-axis variant 1: block (2, N, Q); in-kernel lane split."""
+    Q = x_ref.shape[2]
+    xr = x_ref[0].reshape(N, Q // _LANE, _LANE)
+    xi = x_ref[1].reshape(N, Q // _LANE, _LANE)
+    r, i = _butterfly(xr, xi, tw_ref, N, sign, scale)
+    o_ref[0] = r.reshape(N, Q)
+    o_ref[1] = i.reshape(N, Q)
+
+
 # ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
@@ -290,6 +303,20 @@ def _dispatch(p, axis, sign, interpret, scale):
             interpret=interpret,
         )(x, tw)
     elif pre == 1:
+        if _LEAD_VARIANT == '1':
+            x = p.reshape(2, N, post)
+            Q = _SUB * _LANE
+            out = pl.pallas_call(
+                functools.partial(_kern_lead1, N=N, sign=sign, scale=scale),
+                out_shape=jax.ShapeDtypeStruct((2, N, post), p.dtype),
+                grid=(post // Q,),
+                in_specs=[pl.BlockSpec((2, N, Q), lambda i: (0, 0, i),
+                                       memory_space=pltpu.VMEM), tw_spec],
+                out_specs=pl.BlockSpec((2, N, Q), lambda i: (0, 0, i),
+                                       memory_space=pltpu.VMEM),
+                interpret=interpret,
+            )(x, tw)
+            return out.reshape(p.shape)
         x = p.reshape(2, N, post // _LANE, _LANE)
         out = pl.pallas_call(
             functools.partial(_kern_lead, N=N, sign=sign, scale=scale),
