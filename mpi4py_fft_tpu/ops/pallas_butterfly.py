@@ -43,7 +43,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ['fft_axis_p', 'supported_axis', 'rfft_axis_p',
-           'irfft_axis_p', 'supported_c2r']
+           'irfft_axis_p', 'supported_c2r', 'fft_plane_p',
+           'supported_plane']
 
 _LANE = 128
 _SUB = 8
@@ -54,7 +55,13 @@ import os as _os
 # tile-local moves on (8, 128, N) blocks.  A/B-tested on hardware.
 _LAST_VARIANT = _os.environ.get('MPI4PY_FFT_TPU_LAST_VARIANT', '1')
 # lead-axis variant: '1' = (2, N, 1024) block + in-kernel lane split,
-# '2' = native (2, N, 8, 128) blocks (no in-kernel relayout).
+# '2' = native (2, N, 8, 128) blocks (no in-kernel relayout),
+# '3' = (2, N, 16, 128) blocks — doubles the HBM chunk size to 8 KiB.
+# A/B on hardware (scripts/tpu_plane_test.py): although a pure COPY at
+# sub=16 is 1.8x faster than sub=8 (0.50 vs 0.88 ms / 256 MiB), the FFT
+# kernel at sub=16 loses DMA/compute overlap (4 MiB blocks + butterfly
+# temps exceed the default VMEM budget) and lands at 2.3 ms vs 0.97 ms —
+# variant 2 stays the default.
 _LEAD_VARIANT = _os.environ.get('MPI4PY_FFT_TPU_LEAD_VARIANT', '2')
 
 
@@ -303,6 +310,30 @@ def _dispatch(p, axis, sign, interpret, scale):
             interpret=interpret,
         )(x, tw)
     elif pre == 1:
+        if _LEAD_VARIANT == '3' and post % (2 * _SUB * _LANE) == 0:
+            S = 2 * _SUB                     # 16 sublanes: 8 KiB HBM chunks
+            tw = jnp.broadcast_to(tw_small[:, :, None, None],
+                                  (2, tw_small.shape[1], S, _LANE))
+            tw_spec = pl.BlockSpec((2, tw_small.shape[1], S, _LANE),
+                                   lambda *g: (0, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+            x = p.reshape(2, N, post // _LANE, _LANE)
+            out = pl.pallas_call(
+                functools.partial(_kern_lead, N=N, sign=sign, scale=scale),
+                out_shape=jax.ShapeDtypeStruct(
+                    (2, N, post // _LANE, _LANE), p.dtype),
+                grid=(post // (S * _LANE),),
+                in_specs=[pl.BlockSpec((2, N, S, _LANE),
+                                       lambda i: (0, 0, i, 0),
+                                       memory_space=pltpu.VMEM), tw_spec],
+                out_specs=pl.BlockSpec((2, N, S, _LANE),
+                                       lambda i: (0, 0, i, 0),
+                                       memory_space=pltpu.VMEM),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=64 * 2 ** 20),
+                interpret=interpret,
+            )(x, tw)
+            return out.reshape(p.shape)
         if _LEAD_VARIANT == '1':
             x = p.reshape(2, N, post)
             Q = _SUB * _LANE
@@ -363,6 +394,114 @@ def fft_axis_p(p, axis, forward=True, interpret=None, scale=None):
     sign = -1 if forward else +1
     return _dispatch(p, axis, sign, interpret,
                      None if scale is None else float(scale))
+
+
+# ---------------------------------------------------------------------------
+# fused two-axis plane kernel — transforms the LAST TWO axes in ONE
+# HBM round-trip (4 passes for a 3-D transform instead of 6)
+# ---------------------------------------------------------------------------
+#
+# Block (2, T, N1, N2) with T*N1 = 1024: stage A transforms the lane
+# axis N2 in state (N2, 8, 128) (one full page per row — 100% vreg
+# occupancy); stage B transforms N1 via a leading<->sublane transpose in
+# state (N1, T, N2).  All moves are from the probed-legal set (2-D
+# swaps, 3-D lead<->sublane transposes, lane splits/merges, leading-dim
+# reshapes).  The fused multidim plan role of fftw_planxfftn.c's ranks[]
+# loop (fftw_planxfftn.c:10-40).
+#
+# HARDWARE A/B RESULT (scripts/tpu_plane_test.py, v5e): numerically
+# correct (rel 1.7e-7) but 2.44 ms vs 0.95 ms for two chained
+# single-axis kernels at 256^3 — the extra in-VMEM relayouts plus the
+# doubled per-block working set (needs vmem_limit_bytes raised past the
+# default) defeat the 2-saved HBM passes.  NOT dispatched by default;
+# kept as an explicit entry point for future toolchains where VPU
+# relayouts get cheaper.
+
+def _kern_plane(x_ref, tw2_ref, tw1_ref, o_ref, *, N1, N2, T, sign, scale):
+    R = T * N1
+    xs = []
+    for p in range(2):
+        x = x_ref[p].reshape(R, N2)
+        x = jnp.swapaxes(x, 0, 1)                 # (N2, R) 2-D transpose
+        xs.append(x.reshape(N2, R // _LANE, _LANE))
+    ar, ai = _butterfly(xs[0], xs[1], tw2_ref, N2, sign)
+    bs = []
+    for a in (ar, ai):
+        b = jnp.swapaxes(a.reshape(N2, R), 0, 1)  # back: rows=(t, n1)
+        bs.append(jnp.transpose(b.reshape(T, N1, N2), (1, 0, 2)))
+    dr, di = _butterfly(bs[0], bs[1], tw1_ref, N1, sign, scale)
+    o_ref[0] = jnp.transpose(dr, (1, 0, 2))
+    o_ref[1] = jnp.transpose(di, (1, 0, 2))
+
+
+def supported_plane(shape, dtype):
+    """True if ``fft_plane_p`` can fuse the last two axes of ``shape``
+    (complex dims, no planar axis) for this dtype."""
+    if np.dtype(dtype) != np.float32 or len(shape) < 2:
+        return False
+    N1, N2 = shape[-2], shape[-1]
+    if not (_is_pow2(N1) and _is_pow2(N2)):
+        return False
+    if N1 > _MAX_N or N2 > _MAX_N or N2 % _LANE:
+        return False
+    R = _SUB * _LANE
+    if R % N1:
+        return False
+    T = R // N1
+    pre = int(np.prod(shape[:-2], dtype=np.int64))
+    return pre % T == 0
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('sign', 'interpret', 'scale'))
+def _dispatch_plane(p, sign, interpret, scale):
+    shape = p.shape[1:]
+    N1, N2 = shape[-2], shape[-1]
+    T = (_SUB * _LANE) // N1
+    pre = int(np.prod(shape[:-2], dtype=np.int64))
+    dtype_str = np.dtype(p.dtype).name
+
+    tw2_small = jnp.asarray(_tw_pack(N2, sign, dtype_str))
+    tw2 = jnp.broadcast_to(tw2_small[:, :, None, None],
+                           (2, tw2_small.shape[1], _SUB, _LANE))
+    tw2_spec = pl.BlockSpec((2, tw2_small.shape[1], _SUB, _LANE),
+                            lambda i: (0, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    tw1_small = jnp.asarray(_tw_pack(N1, sign, dtype_str))
+    tw1 = jnp.broadcast_to(tw1_small[:, :, None, None],
+                           (2, tw1_small.shape[1], T, N2))
+    tw1_spec = pl.BlockSpec((2, tw1_small.shape[1], T, N2),
+                            lambda i: (0, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    x = p.reshape(2, pre, N1, N2)
+    out = pl.pallas_call(
+        functools.partial(_kern_plane, N1=N1, N2=N2, T=T, sign=sign,
+                          scale=scale),
+        out_shape=jax.ShapeDtypeStruct((2, pre, N1, N2), p.dtype),
+        grid=(pre // T,),
+        in_specs=[pl.BlockSpec((2, T, N1, N2), lambda i: (0, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  tw2_spec, tw1_spec],
+        out_specs=pl.BlockSpec((2, T, N1, N2), lambda i: (0, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2 ** 20),
+        interpret=interpret,
+    )(x, tw2, tw1)
+    return out.reshape(p.shape)
+
+
+def fft_plane_p(p, forward=True, interpret=None, scale=None):
+    """Planar c2c FFT over BOTH of the last two axes of (2, ...) data in
+    a single fused kernel (2 HBM passes total).  Requires
+    ``supported_plane(p.shape[1:], p.dtype)``.  Unnormalized unless
+    ``scale`` is given (applied in-VMEM in the final stage)."""
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    sign = -1 if forward else +1
+    return _dispatch_plane(p, sign, interpret,
+                           None if scale is None else float(scale))
 
 
 # ---------------------------------------------------------------------------

@@ -167,3 +167,49 @@ def test_r2c_c2r_kernels(shape, axis, hext):
     xr = pb.irfft_axis_p(y, axis, shape[axis], scale=1.0 / shape[axis],
                          interpret=True)
     assert np.linalg.norm(np.asarray(xr) - x) / np.linalg.norm(x) < 5e-6
+
+
+PLANE_CASES = [
+    (4, 256, 256),        # T=4 (the 256^3 per-axis shape)
+    (16, 128, 128),       # T=8
+    (8, 2, 64, 256),      # T=16, 4-D
+]
+
+
+@pytest.mark.parametrize('shape', PLANE_CASES)
+@pytest.mark.parametrize('forward', [True, False])
+def test_plane_kernel(shape, forward):
+    """Fused last-two-axes kernel vs numpy fft2 (interpret mode)."""
+    assert pb.supported_plane(shape, np.float32)
+    rng = np.random.default_rng(7)
+    z = (rng.standard_normal(shape)
+         + 1j * rng.standard_normal(shape)).astype(np.complex64)
+    p = jnp.asarray(np.stack([z.real, z.imag]))
+    y = pb.fft_plane_p(p, forward, interpret=True)
+    got = np.asarray(y[0]) + 1j * np.asarray(y[1])
+    if forward:
+        ref = np.fft.fft2(z, axes=(-2, -1))
+    else:
+        ref = np.fft.ifft2(z, axes=(-2, -1)) * (shape[-1] * shape[-2])
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 5e-6, rel
+
+
+def test_plane_scale_and_gate():
+    shape = (4, 256, 256)
+    rng = np.random.default_rng(8)
+    z = (rng.standard_normal(shape)
+         + 1j * rng.standard_normal(shape)).astype(np.complex64)
+    p = jnp.asarray(np.stack([z.real, z.imag]))
+    n12 = shape[-1] * shape[-2]
+    y = pb.fft_plane_p(p, True, interpret=True)
+    back = pb.fft_plane_p(y, False, interpret=True, scale=1.0 / n12)
+    rel = np.linalg.norm(np.asarray(back) - np.asarray(p)) \
+        / np.linalg.norm(np.asarray(p))
+    assert rel < 5e-6, rel
+    # gates
+    assert not pb.supported_plane((4, 256, 256), np.float64)
+    assert not pb.supported_plane((3, 256, 256), np.float32)  # pre % T
+    assert not pb.supported_plane((4, 256, 96), np.float32)   # lane mult
+    assert not pb.supported_plane((4, 512, 256), np.float32)  # > _MAX_N
+    assert not pb.supported_plane((256,), np.float32)
