@@ -50,6 +50,19 @@ _LANE = 128
 _SUB = 8
 _MAX_N = 256           # VMEM bound: tile + twiddle pack + state temps
 
+
+def _bspec(shape, imap, memory_space=None):
+    """BlockSpec whose index map yields int32 block indices.
+
+    Under ``jax_enable_x64`` (this package's default, for f64 parity
+    with the reference) raw index maps produce i64 indices, which the
+    Mosaic pipeline fails to legalize ('failed to legalize operation
+    func.return' from the remote compiler) — probed on hardware; the
+    kernels themselves are f32-only and unaffected."""
+    def g(*args):
+        return tuple(jnp.asarray(v, jnp.int32) for v in imap(*args))
+    return pl.BlockSpec(shape, g, memory_space=memory_space)
+
 import os as _os
 # last-axis kernel variant: '1' = (1024, N) 2-D transpose, '2' = two
 # tile-local moves on (8, 128, N) blocks.  A/B-tested on hardware.
@@ -276,7 +289,7 @@ def _dispatch(p, axis, sign, interpret, scale):
     tw_small = jnp.asarray(_tw_pack(N, sign, dtype_str))
     tw = jnp.broadcast_to(tw_small[:, :, None, None],
                           (2, tw_small.shape[1], _SUB, _LANE))
-    tw_spec = pl.BlockSpec((2, tw_small.shape[1], _SUB, _LANE),
+    tw_spec = _bspec((2, tw_small.shape[1], _SUB, _LANE),
                            lambda *g: (0, 0, 0, 0),
                            memory_space=pltpu.VMEM)
 
@@ -288,10 +301,10 @@ def _dispatch(p, axis, sign, interpret, scale):
                 out_shape=jax.ShapeDtypeStruct(
                     (2, pre // _LANE, _LANE, N), p.dtype),
                 grid=(pre // (_SUB * _LANE),),
-                in_specs=[pl.BlockSpec((2, _SUB, _LANE, N),
+                in_specs=[_bspec((2, _SUB, _LANE, N),
                                        lambda i: (0, i, 0, 0),
                                        memory_space=pltpu.VMEM), tw_spec],
-                out_specs=pl.BlockSpec((2, _SUB, _LANE, N),
+                out_specs=_bspec((2, _SUB, _LANE, N),
                                        lambda i: (0, i, 0, 0),
                                        memory_space=pltpu.VMEM),
                 interpret=interpret,
@@ -303,9 +316,9 @@ def _dispatch(p, axis, sign, interpret, scale):
             functools.partial(_kern_last, N=N, sign=sign, scale=scale),
             out_shape=jax.ShapeDtypeStruct((2, pre, N), p.dtype),
             grid=(pre // R,),
-            in_specs=[pl.BlockSpec((2, R, N), lambda i: (0, i, 0),
+            in_specs=[_bspec((2, R, N), lambda i: (0, i, 0),
                                    memory_space=pltpu.VMEM), tw_spec],
-            out_specs=pl.BlockSpec((2, R, N), lambda i: (0, i, 0),
+            out_specs=_bspec((2, R, N), lambda i: (0, i, 0),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
         )(x, tw)
@@ -314,7 +327,7 @@ def _dispatch(p, axis, sign, interpret, scale):
             S = 2 * _SUB                     # 16 sublanes: 8 KiB HBM chunks
             tw = jnp.broadcast_to(tw_small[:, :, None, None],
                                   (2, tw_small.shape[1], S, _LANE))
-            tw_spec = pl.BlockSpec((2, tw_small.shape[1], S, _LANE),
+            tw_spec = _bspec((2, tw_small.shape[1], S, _LANE),
                                    lambda *g: (0, 0, 0, 0),
                                    memory_space=pltpu.VMEM)
             x = p.reshape(2, N, post // _LANE, _LANE)
@@ -323,10 +336,10 @@ def _dispatch(p, axis, sign, interpret, scale):
                 out_shape=jax.ShapeDtypeStruct(
                     (2, N, post // _LANE, _LANE), p.dtype),
                 grid=(post // (S * _LANE),),
-                in_specs=[pl.BlockSpec((2, N, S, _LANE),
+                in_specs=[_bspec((2, N, S, _LANE),
                                        lambda i: (0, 0, i, 0),
                                        memory_space=pltpu.VMEM), tw_spec],
-                out_specs=pl.BlockSpec((2, N, S, _LANE),
+                out_specs=_bspec((2, N, S, _LANE),
                                        lambda i: (0, 0, i, 0),
                                        memory_space=pltpu.VMEM),
                 compiler_params=pltpu.CompilerParams(
@@ -341,9 +354,9 @@ def _dispatch(p, axis, sign, interpret, scale):
                 functools.partial(_kern_lead1, N=N, sign=sign, scale=scale),
                 out_shape=jax.ShapeDtypeStruct((2, N, post), p.dtype),
                 grid=(post // Q,),
-                in_specs=[pl.BlockSpec((2, N, Q), lambda i: (0, 0, i),
+                in_specs=[_bspec((2, N, Q), lambda i: (0, 0, i),
                                        memory_space=pltpu.VMEM), tw_spec],
-                out_specs=pl.BlockSpec((2, N, Q), lambda i: (0, 0, i),
+                out_specs=_bspec((2, N, Q), lambda i: (0, 0, i),
                                        memory_space=pltpu.VMEM),
                 interpret=interpret,
             )(x, tw)
@@ -354,10 +367,10 @@ def _dispatch(p, axis, sign, interpret, scale):
             out_shape=jax.ShapeDtypeStruct((2, N, post // _LANE, _LANE),
                                            p.dtype),
             grid=(post // (_SUB * _LANE),),
-            in_specs=[pl.BlockSpec((2, N, _SUB, _LANE),
+            in_specs=[_bspec((2, N, _SUB, _LANE),
                                    lambda i: (0, 0, i, 0),
                                    memory_space=pltpu.VMEM), tw_spec],
-            out_specs=pl.BlockSpec((2, N, _SUB, _LANE),
+            out_specs=_bspec((2, N, _SUB, _LANE),
                                    lambda i: (0, 0, i, 0),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
@@ -368,10 +381,10 @@ def _dispatch(p, axis, sign, interpret, scale):
             functools.partial(_kern_mid, N=N, sign=sign, scale=scale),
             out_shape=jax.ShapeDtypeStruct((2, pre, N, post), p.dtype),
             grid=(pre // _SUB, post // _LANE),
-            in_specs=[pl.BlockSpec((2, _SUB, N, _LANE),
+            in_specs=[_bspec((2, _SUB, N, _LANE),
                                    lambda i, j: (0, i, 0, j),
                                    memory_space=pltpu.VMEM), tw_spec],
-            out_specs=pl.BlockSpec((2, _SUB, N, _LANE),
+            out_specs=_bspec((2, _SUB, N, _LANE),
                                    lambda i, j: (0, i, 0, j),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
@@ -464,13 +477,13 @@ def _dispatch_plane(p, sign, interpret, scale):
     tw2_small = jnp.asarray(_tw_pack(N2, sign, dtype_str))
     tw2 = jnp.broadcast_to(tw2_small[:, :, None, None],
                            (2, tw2_small.shape[1], _SUB, _LANE))
-    tw2_spec = pl.BlockSpec((2, tw2_small.shape[1], _SUB, _LANE),
+    tw2_spec = _bspec((2, tw2_small.shape[1], _SUB, _LANE),
                             lambda i: (0, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     tw1_small = jnp.asarray(_tw_pack(N1, sign, dtype_str))
     tw1 = jnp.broadcast_to(tw1_small[:, :, None, None],
                            (2, tw1_small.shape[1], T, N2))
-    tw1_spec = pl.BlockSpec((2, tw1_small.shape[1], T, N2),
+    tw1_spec = _bspec((2, tw1_small.shape[1], T, N2),
                             lambda i: (0, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
@@ -480,10 +493,10 @@ def _dispatch_plane(p, sign, interpret, scale):
                           scale=scale),
         out_shape=jax.ShapeDtypeStruct((2, pre, N1, N2), p.dtype),
         grid=(pre // T,),
-        in_specs=[pl.BlockSpec((2, T, N1, N2), lambda i: (0, i, 0, 0),
+        in_specs=[_bspec((2, T, N1, N2), lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM),
                   tw2_spec, tw1_spec],
-        out_specs=pl.BlockSpec((2, T, N1, N2), lambda i: (0, i, 0, 0),
+        out_specs=_bspec((2, T, N1, N2), lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 2 ** 20),
@@ -512,18 +525,14 @@ def fft_plane_p(p, forward=True, interpret=None, scale=None):
 # butterfly with a zero imaginary part, and writes only the Hermitian
 # half (rows < N//2+1, optionally zero-padded to ``hext`` so the pencil
 # pipeline's shardable-extent padding is free).  The c2r stage reads the
-# half-spectrum, rebuilds the full row set from Hermitian symmetry
-# in-VMEM (leading-dim flip + concat), and writes only the real part.
+# half-spectrum plus a pre-conjugate-reversed tail (built by one cheap
+# XLA rev outside the kernel — Mosaic has no in-kernel `rev` lowering on
+# this toolchain), rebuilds the full row set by concatenation in-VMEM,
+# and writes only the real part.  All blocks carry a leading
+# planar/singleton dim so input and output block RANKS match — Mosaic
+# rejects mixed-rank block sets ('failed to legalize func.return';
+# probed in scripts/tpu_plane_test.py lineage).
 # Reference semantics: fftw r2c/c2r guru plans (fftw_planxfftn.c:41-66).
-
-def _hermitian_rows(hr, hi, N, nh):
-    """Extend (nh, 8, 128) half-spectrum rows to the full N rows:
-    X[N-k] = conj(X[k]) for k = 1..ceil(N/2)-1."""
-    tail_r = jnp.flip(hr[1:(N + 1) // 2], axis=0)
-    tail_i = -jnp.flip(hi[1:(N + 1) // 2], axis=0)
-    return (jnp.concatenate([hr, tail_r], axis=0),
-            jnp.concatenate([hi, tail_i], axis=0))
-
 
 def _r2c_rows(xr, tw_ref, N, nh, hext, scale):
     """Real rows (N, 8, 128) -> half-spectrum planar rows (2, hext, ...)."""
@@ -537,51 +546,65 @@ def _r2c_rows(xr, tw_ref, N, nh, hext, scale):
 
 
 def _kern_mid_r2c(x_ref, tw_ref, o_ref, *, N, nh, hext, scale):
-    xr = jnp.transpose(x_ref[...], (1, 0, 2))     # (N, 8, 128)
+    xr = jnp.transpose(x_ref[0], (1, 0, 2))       # (N, 8, 128)
     r, i = _r2c_rows(xr, tw_ref, N, nh, hext, scale)
     o_ref[0] = jnp.transpose(r, (1, 0, 2))
     o_ref[1] = jnp.transpose(i, (1, 0, 2))
 
 
 def _kern_lead_r2c(x_ref, tw_ref, o_ref, *, N, nh, hext, scale):
-    r, i = _r2c_rows(x_ref[...], tw_ref, N, nh, hext, scale)
+    r, i = _r2c_rows(x_ref[0], tw_ref, N, nh, hext, scale)
     o_ref[0] = r
     o_ref[1] = i
 
 
 def _kern_last_r2c(x_ref, tw_ref, o_ref, *, N, nh, hext, scale):
-    R = x_ref.shape[0]
-    x = jnp.swapaxes(x_ref[...], 0, 1)            # (N, R)
+    R = x_ref.shape[1]
+    x = jnp.swapaxes(x_ref[0], 0, 1)              # (N, R)
     xr = x.reshape(N, R // _LANE, _LANE)
     r, i = _r2c_rows(xr, tw_ref, N, nh, hext, scale)
     o_ref[0] = jnp.swapaxes(r.reshape(hext, R), 0, 1)
     o_ref[1] = jnp.swapaxes(i.reshape(hext, R), 0, 1)
 
 
-def _kern_mid_c2r(x_ref, tw_ref, o_ref, *, N, nh, scale):
+def _c2r_rows(hr, hi, tr, ti, tw_ref, N, scale):
+    """Half-spectrum rows (nh, ...) + conj-reversed tail (nt, ...) ->
+    real rows (N, ...): X[N-k] = conj(X[k]) already applied to the tail."""
+    if tr is not None:
+        hr = jnp.concatenate([hr, tr], axis=0)
+        hi = jnp.concatenate([hi, ti], axis=0)
+    r, _ = _butterfly(hr, hi, tw_ref, N, +1, scale)
+    return r
+
+
+def _kern_mid_c2r(x_ref, t_ref, tw_ref, o_ref, *, N, nh, nt, scale):
     hr = jnp.transpose(x_ref[0], (1, 0, 2))[:nh]  # (nh, 8, 128)
     hi = jnp.transpose(x_ref[1], (1, 0, 2))[:nh]
-    fr, fi = _hermitian_rows(hr, hi, N, nh)
-    r, _ = _butterfly(fr, fi, tw_ref, N, +1, scale)
-    o_ref[...] = jnp.transpose(r, (1, 0, 2))
+    tr = jnp.transpose(t_ref[0], (1, 0, 2)) if nt else None
+    ti = jnp.transpose(t_ref[1], (1, 0, 2)) if nt else None
+    r = _c2r_rows(hr, hi, tr, ti, tw_ref, N, scale)
+    o_ref[0] = jnp.transpose(r, (1, 0, 2))
 
 
-def _kern_lead_c2r(x_ref, tw_ref, o_ref, *, N, nh, scale):
-    fr, fi = _hermitian_rows(x_ref[0][:nh], x_ref[1][:nh], N, nh)
-    r, _ = _butterfly(fr, fi, tw_ref, N, +1, scale)
-    o_ref[...] = r
+def _kern_lead_c2r(x_ref, t_ref, tw_ref, o_ref, *, N, nh, nt, scale):
+    tr = t_ref[0] if nt else None
+    ti = t_ref[1] if nt else None
+    r = _c2r_rows(x_ref[0][:nh], x_ref[1][:nh], tr, ti, tw_ref, N, scale)
+    o_ref[0] = r
 
 
-def _kern_last_c2r(x_ref, tw_ref, o_ref, *, N, nh, scale):
+def _kern_last_c2r(x_ref, t_ref, tw_ref, o_ref, *, N, nh, nt, scale):
     R = x_ref.shape[1]
     Hin = x_ref.shape[2]
-    hs = []
+    hs, ts = [], [None, None]
     for p in range(2):
         h = jnp.swapaxes(x_ref[p], 0, 1)          # (Hin, R)
         hs.append(h.reshape(Hin, R // _LANE, _LANE)[:nh])
-    fr, fi = _hermitian_rows(hs[0], hs[1], N, nh)
-    r, _ = _butterfly(fr, fi, tw_ref, N, +1, scale)
-    o_ref[...] = jnp.swapaxes(r.reshape(N, R), 0, 1)
+        if nt:
+            t = jnp.swapaxes(t_ref[p], 0, 1)      # (nt, R)
+            ts[p] = t.reshape(nt, R // _LANE, _LANE)
+    r = _c2r_rows(hs[0], hs[1], ts[0], ts[1], tw_ref, N, scale)
+    o_ref[0] = jnp.swapaxes(r.reshape(N, R), 0, 1)
 
 
 @functools.partial(jax.jit,
@@ -598,47 +621,49 @@ def _dispatch_r2c(x, axis, hext, interpret, scale):
     tw_small = jnp.asarray(_tw_pack(N, -1, dtype_str))
     tw = jnp.broadcast_to(tw_small[:, :, None, None],
                           (2, tw_small.shape[1], _SUB, _LANE))
-    tw_spec = pl.BlockSpec((2, tw_small.shape[1], _SUB, _LANE),
+    tw_spec = _bspec((2, tw_small.shape[1], _SUB, _LANE),
                            lambda *g: (0, 0, 0, 0),
                            memory_space=pltpu.VMEM)
     kw = dict(N=N, nh=nh, hext=hext, scale=scale)
     if post == 1:
-        xg = x.reshape(pre, N)
+        xg = x.reshape(1, pre, N)
         R = _SUB * _LANE
         out = pl.pallas_call(
             functools.partial(_kern_last_r2c, **kw),
             out_shape=jax.ShapeDtypeStruct((2, pre, hext), x.dtype),
             grid=(pre // R,),
-            in_specs=[pl.BlockSpec((R, N), lambda i: (i, 0),
+            in_specs=[_bspec((1, R, N), lambda i: (0, i, 0),
                                    memory_space=pltpu.VMEM), tw_spec],
-            out_specs=pl.BlockSpec((2, R, hext), lambda i: (0, i, 0),
+            out_specs=_bspec((2, R, hext), lambda i: (0, i, 0),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
         )(xg, tw)
         return out.reshape((2,) + shape[:axis] + (hext,))
     if pre == 1:
-        xg = x.reshape(N, post // _LANE, _LANE)
+        xg = x.reshape(1, N, post // _LANE, _LANE)
         out = pl.pallas_call(
             functools.partial(_kern_lead_r2c, **kw),
             out_shape=jax.ShapeDtypeStruct(
                 (2, hext, post // _LANE, _LANE), x.dtype),
             grid=(post // (_SUB * _LANE),),
-            in_specs=[pl.BlockSpec((N, _SUB, _LANE), lambda i: (0, i, 0),
+            in_specs=[_bspec((1, N, _SUB, _LANE),
+                                   lambda i: (0, 0, i, 0),
                                    memory_space=pltpu.VMEM), tw_spec],
-            out_specs=pl.BlockSpec((2, hext, _SUB, _LANE),
+            out_specs=_bspec((2, hext, _SUB, _LANE),
                                    lambda i: (0, 0, i, 0),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
         )(xg, tw)
         return out.reshape((2, hext) + shape[axis + 1:])
-    xg = x.reshape(pre, N, post)
+    xg = x.reshape(1, pre, N, post)
     out = pl.pallas_call(
         functools.partial(_kern_mid_r2c, **kw),
         out_shape=jax.ShapeDtypeStruct((2, pre, hext, post), x.dtype),
         grid=(pre // _SUB, post // _LANE),
-        in_specs=[pl.BlockSpec((_SUB, N, _LANE), lambda i, j: (i, 0, j),
+        in_specs=[_bspec((1, _SUB, N, _LANE),
+                               lambda i, j: (0, i, 0, j),
                                memory_space=pltpu.VMEM), tw_spec],
-        out_specs=pl.BlockSpec((2, _SUB, hext, _LANE),
+        out_specs=_bspec((2, _SUB, hext, _LANE),
                                lambda i, j: (0, i, 0, j),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
@@ -674,6 +699,7 @@ def _dispatch_c2r(p, axis, n, interpret, scale):
     nd = len(shape)
     N = n
     nh = N // 2 + 1
+    nt = N - nh                       # conj-reversed tail rows
     Hin = shape[axis]
     dtype_str = np.dtype(p.dtype).name
     pre = int(np.prod(shape[:axis], dtype=np.int64)) if axis else 1
@@ -682,52 +708,77 @@ def _dispatch_c2r(p, axis, n, interpret, scale):
     tw_small = jnp.asarray(_tw_pack(N, +1, dtype_str))
     tw = jnp.broadcast_to(tw_small[:, :, None, None],
                           (2, tw_small.shape[1], _SUB, _LANE))
-    tw_spec = pl.BlockSpec((2, tw_small.shape[1], _SUB, _LANE),
+    tw_spec = _bspec((2, tw_small.shape[1], _SUB, _LANE),
                            lambda *g: (0, 0, 0, 0),
                            memory_space=pltpu.VMEM)
-    kw = dict(N=N, nh=nh, scale=scale)
+    # conj-reversed Hermitian tail, built by XLA (no in-kernel rev):
+    # tail[j] = conj(X[(N+1)//2 - 1 - j]) over source rows 1..(N+1)//2
+    ax1 = 1 + axis
+    if nt:
+        sl = [slice(None)] * p.ndim
+        sl[ax1] = slice(1, (N + 1) // 2)
+        t = jnp.flip(p[tuple(sl)], axis=ax1)
+        t = jnp.concatenate([t[:1], -t[1:]], axis=0)  # conj
+    else:                      # N == 2: dummy 1-row tail, never read
+        zshape = list(p.shape)
+        zshape[ax1] = 1
+        t = jnp.zeros(zshape, p.dtype)
+    kw = dict(N=N, nh=nh, nt=nt, scale=scale)
     out_shape = shape[:axis] + (N,) + shape[axis + 1:]
     if post == 1:
         xg = p.reshape(2, pre, Hin)
+        tg = t.reshape(2, pre, t.shape[ax1])
         R = _SUB * _LANE
         out = pl.pallas_call(
             functools.partial(_kern_last_c2r, **kw),
-            out_shape=jax.ShapeDtypeStruct((pre, N), p.dtype),
+            out_shape=jax.ShapeDtypeStruct((1, pre, N), p.dtype),
             grid=(pre // R,),
-            in_specs=[pl.BlockSpec((2, R, Hin), lambda i: (0, i, 0),
+            in_specs=[_bspec((2, R, Hin), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+                      _bspec((2, R, tg.shape[2]),
+                                   lambda i: (0, i, 0),
                                    memory_space=pltpu.VMEM), tw_spec],
-            out_specs=pl.BlockSpec((R, N), lambda i: (i, 0),
+            out_specs=_bspec((1, R, N), lambda i: (0, i, 0),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
-        )(xg, tw)
+        )(xg, tg, tw)
     elif pre == 1:
         xg = p.reshape(2, Hin, post // _LANE, _LANE)
+        tg = t.reshape(2, t.shape[ax1], post // _LANE, _LANE)
         out = pl.pallas_call(
             functools.partial(_kern_lead_c2r, **kw),
             out_shape=jax.ShapeDtypeStruct(
-                (N, post // _LANE, _LANE), p.dtype),
+                (1, N, post // _LANE, _LANE), p.dtype),
             grid=(post // (_SUB * _LANE),),
-            in_specs=[pl.BlockSpec((2, Hin, _SUB, _LANE),
+            in_specs=[_bspec((2, Hin, _SUB, _LANE),
+                                   lambda i: (0, 0, i, 0),
+                                   memory_space=pltpu.VMEM),
+                      _bspec((2, tg.shape[1], _SUB, _LANE),
                                    lambda i: (0, 0, i, 0),
                                    memory_space=pltpu.VMEM), tw_spec],
-            out_specs=pl.BlockSpec((N, _SUB, _LANE), lambda i: (0, i, 0),
+            out_specs=_bspec((1, N, _SUB, _LANE),
+                                   lambda i: (0, 0, i, 0),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
-        )(xg, tw)
+        )(xg, tg, tw)
     else:
         xg = p.reshape(2, pre, Hin, post)
+        tg = t.reshape(2, pre, t.shape[ax1], post)
         out = pl.pallas_call(
             functools.partial(_kern_mid_c2r, **kw),
-            out_shape=jax.ShapeDtypeStruct((pre, N, post), p.dtype),
+            out_shape=jax.ShapeDtypeStruct((1, pre, N, post), p.dtype),
             grid=(pre // _SUB, post // _LANE),
-            in_specs=[pl.BlockSpec((2, _SUB, Hin, _LANE),
+            in_specs=[_bspec((2, _SUB, Hin, _LANE),
+                                   lambda i, j: (0, i, 0, j),
+                                   memory_space=pltpu.VMEM),
+                      _bspec((2, _SUB, tg.shape[2], _LANE),
                                    lambda i, j: (0, i, 0, j),
                                    memory_space=pltpu.VMEM), tw_spec],
-            out_specs=pl.BlockSpec((_SUB, N, _LANE),
-                                   lambda i, j: (i, 0, j),
+            out_specs=_bspec((1, _SUB, N, _LANE),
+                                   lambda i, j: (0, i, 0, j),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
-        )(xg, tw)
+        )(xg, tg, tw)
     return out.reshape(out_shape)
 
 

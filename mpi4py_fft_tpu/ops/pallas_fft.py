@@ -34,6 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .matfft import _dft_matrix, _twiddle, _prec as _mat_prec
+from .pallas_butterfly import _bspec
 
 __all__ = ['fft2stage_p', 'supported_length']
 
@@ -139,14 +140,14 @@ def _call(p, w2, sign, interpret=False):
         out_shape=jax.ShapeDtypeStruct((2, B, S, _LANE), p.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((2, Bt, S, _LANE), lambda i: (0, i, 0, 0),
+            _bspec((2, Bt, S, _LANE), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, S, _LANE), lambda i: (0, 0, 0),
+            _bspec((2, S, _LANE), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, _LANE, _LANE), lambda i: (0, 0, 0),
+            _bspec((2, _LANE, _LANE), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((2, Bt, S, _LANE), lambda i: (0, i, 0, 0),
+        out_specs=_bspec((2, Bt, S, _LANE), lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(x4, tw, w2)
