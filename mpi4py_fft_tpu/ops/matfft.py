@@ -106,11 +106,12 @@ def set_butterfly_mode(mode):
     _BFLY_MODE = mode
 
 
-def _use_butterfly(shape, axis, dtype):
+def _use_butterfly(shape, axis, dtype, r2c=False):
     if _BFLY_MODE == 'off':
         return False
     from . import pallas_butterfly as pb
-    if not pb.supported_axis(shape, axis, dtype):
+    sup = pb.supported_r2c if r2c else pb.supported_axis
+    if not sup(shape, axis, dtype):
         return False
     if _BFLY_MODE == 'on':
         return True
@@ -477,7 +478,7 @@ def rfftn_p(x, axes, hext=None):
     (or zero-padded rows up to ``hext`` when given)."""
     a_last = axes[-1] % x.ndim
     N = x.shape[a_last]
-    if _use_butterfly(x.shape, a_last, x.dtype):
+    if _use_butterfly(x.shape, a_last, x.dtype, r2c=True):
         from . import pallas_butterfly as pb
         y = pb.rfft_axis_p(x, a_last, hext=hext)
     else:

@@ -253,11 +253,18 @@ def _kern_lead1(x_ref, tw_ref, o_ref, *, N, sign, scale):
 # dispatch
 # ---------------------------------------------------------------------------
 
+def _cdiv(a, b):
+    return -(-a // b)
+
+
 def supported_axis(shape, axis, dtype):
     """True if ``fft_axis_p`` has a kernel for this (shape, axis, dtype).
 
     shape is the complex shape (no planar dim); f32 only (f64 is emulated
-    on TPU and stays on the einsum engine).
+    on TPU and stays on the einsum engine).  Lane extents need not divide
+    the 128-lane block: ragged edge blocks are masked by the pipeline
+    (probed legal + bit-correct on hardware) — this is what lets the
+    r2c half-spectrum's N//2+1 extents stay on the kernel path.
     """
     if np.dtype(dtype) != np.float32:
         return False
@@ -272,8 +279,8 @@ def supported_axis(shape, axis, dtype):
     if post == 1:
         return pre % (_SUB * _LANE) == 0
     if pre == 1:
-        return post % (_SUB * _LANE) == 0
-    return pre % _SUB == 0 and post % _LANE == 0
+        return post >= _LANE
+    return pre % _SUB == 0 and post >= _LANE
 
 
 @functools.partial(jax.jit,
@@ -323,6 +330,21 @@ def _dispatch(p, axis, sign, interpret, scale):
             interpret=interpret,
         )(x, tw)
     elif pre == 1:
+        if post % _LANE:
+            # ragged lane extent: variant-1 blocks with a masked edge
+            x = p.reshape(2, N, post)
+            Q = _SUB * _LANE
+            out = pl.pallas_call(
+                functools.partial(_kern_lead1, N=N, sign=sign, scale=scale),
+                out_shape=jax.ShapeDtypeStruct((2, N, post), p.dtype),
+                grid=(_cdiv(post, Q),),
+                in_specs=[_bspec((2, N, Q), lambda i: (0, 0, i),
+                                 memory_space=pltpu.VMEM), tw_spec],
+                out_specs=_bspec((2, N, Q), lambda i: (0, 0, i),
+                                 memory_space=pltpu.VMEM),
+                interpret=interpret,
+            )(x, tw)
+            return out.reshape(p.shape)
         if _LEAD_VARIANT == '3' and post % (2 * _SUB * _LANE) == 0:
             S = 2 * _SUB                     # 16 sublanes: 8 KiB HBM chunks
             tw = jnp.broadcast_to(tw_small[:, :, None, None],
@@ -353,7 +375,7 @@ def _dispatch(p, axis, sign, interpret, scale):
             out = pl.pallas_call(
                 functools.partial(_kern_lead1, N=N, sign=sign, scale=scale),
                 out_shape=jax.ShapeDtypeStruct((2, N, post), p.dtype),
-                grid=(post // Q,),
+                grid=(_cdiv(post, Q),),
                 in_specs=[_bspec((2, N, Q), lambda i: (0, 0, i),
                                        memory_space=pltpu.VMEM), tw_spec],
                 out_specs=_bspec((2, N, Q), lambda i: (0, 0, i),
@@ -366,7 +388,7 @@ def _dispatch(p, axis, sign, interpret, scale):
             functools.partial(_kern_lead, N=N, sign=sign, scale=scale),
             out_shape=jax.ShapeDtypeStruct((2, N, post // _LANE, _LANE),
                                            p.dtype),
-            grid=(post // (_SUB * _LANE),),
+            grid=(_cdiv(post // _LANE, _SUB),),
             in_specs=[_bspec((2, N, _SUB, _LANE),
                                    lambda i: (0, 0, i, 0),
                                    memory_space=pltpu.VMEM), tw_spec],
@@ -380,7 +402,7 @@ def _dispatch(p, axis, sign, interpret, scale):
         out = pl.pallas_call(
             functools.partial(_kern_mid, N=N, sign=sign, scale=scale),
             out_shape=jax.ShapeDtypeStruct((2, pre, N, post), p.dtype),
-            grid=(pre // _SUB, post // _LANE),
+            grid=(pre // _SUB, _cdiv(post, _LANE)),
             in_specs=[_bspec((2, _SUB, N, _LANE),
                                    lambda i, j: (0, i, 0, j),
                                    memory_space=pltpu.VMEM), tw_spec],
@@ -645,7 +667,7 @@ def _dispatch_r2c(x, axis, hext, interpret, scale):
             functools.partial(_kern_lead_r2c, **kw),
             out_shape=jax.ShapeDtypeStruct(
                 (2, hext, post // _LANE, _LANE), x.dtype),
-            grid=(post // (_SUB * _LANE),),
+            grid=(_cdiv(post // _LANE, _SUB),),
             in_specs=[_bspec((1, N, _SUB, _LANE),
                                    lambda i: (0, 0, i, 0),
                                    memory_space=pltpu.VMEM), tw_spec],
@@ -659,7 +681,7 @@ def _dispatch_r2c(x, axis, hext, interpret, scale):
     out = pl.pallas_call(
         functools.partial(_kern_mid_r2c, **kw),
         out_shape=jax.ShapeDtypeStruct((2, pre, hext, post), x.dtype),
-        grid=(pre // _SUB, post // _LANE),
+        grid=(pre // _SUB, _cdiv(post, _LANE)),
         in_specs=[_bspec((1, _SUB, N, _LANE),
                                lambda i, j: (0, i, 0, j),
                                memory_space=pltpu.VMEM), tw_spec],
@@ -749,7 +771,7 @@ def _dispatch_c2r(p, axis, n, interpret, scale):
             functools.partial(_kern_lead_c2r, **kw),
             out_shape=jax.ShapeDtypeStruct(
                 (1, N, post // _LANE, _LANE), p.dtype),
-            grid=(post // (_SUB * _LANE),),
+            grid=(_cdiv(post // _LANE, _SUB),),
             in_specs=[_bspec((2, Hin, _SUB, _LANE),
                                    lambda i: (0, 0, i, 0),
                                    memory_space=pltpu.VMEM),
@@ -767,7 +789,7 @@ def _dispatch_c2r(p, axis, n, interpret, scale):
         out = pl.pallas_call(
             functools.partial(_kern_mid_c2r, **kw),
             out_shape=jax.ShapeDtypeStruct((1, pre, N, post), p.dtype),
-            grid=(pre // _SUB, post // _LANE),
+            grid=(pre // _SUB, _cdiv(post, _LANE)),
             in_specs=[_bspec((2, _SUB, Hin, _LANE),
                                    lambda i, j: (0, i, 0, j),
                                    memory_space=pltpu.VMEM),
@@ -782,6 +804,24 @@ def _dispatch_c2r(p, axis, n, interpret, scale):
     return out.reshape(out_shape)
 
 
+def _lead_ragged(shape, axis):
+    """True when the lead-axis layout would need a ragged lane reshape —
+    supported for c2c (variant-1 masked blocks) but not by the r2c/c2r
+    kernels, whose lead path uses native (N, S, 128) blocks."""
+    nd = len(shape)
+    axis = axis % nd
+    pre = int(np.prod(shape[:axis], dtype=np.int64)) if axis else 1
+    post = int(np.prod(shape[axis + 1:], dtype=np.int64)) \
+        if axis < nd - 1 else 1
+    return pre == 1 and post % _LANE != 0
+
+
+def supported_r2c(shape, axis, dtype):
+    """Gate for ``rfft_axis_p``: shape is the REAL input shape."""
+    return supported_axis(shape, axis, dtype) and \
+        not _lead_ragged(shape, axis)
+
+
 def supported_c2r(shape, axis, n, dtype):
     """Gate for ``irfft_axis_p``: shape is the complex (planar-less)
     spectrum shape; ``n`` the real output length."""
@@ -790,7 +830,8 @@ def supported_c2r(shape, axis, n, dtype):
     if shape[axis] < n // 2 + 1:
         return False
     full = shape[:axis] + (n,) + shape[axis + 1:]
-    return supported_axis(full, axis, dtype)
+    return supported_axis(full, axis, dtype) and \
+        not _lead_ragged(full, axis)
 
 
 def irfft_axis_p(p, axis, n, scale=None, interpret=None):

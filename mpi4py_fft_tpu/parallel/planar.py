@@ -51,7 +51,7 @@ def _local_rfft(x, ax, hext=None):
     """Per-shard r2c with explicit kernel dispatch (see _local_fft1d)."""
     from ..ops import pallas_butterfly as pb
     if (matfft._BFLY_MODE != 'off' and jax.default_backend() == 'tpu'
-            and pb.supported_axis(x.shape, ax, x.dtype)):
+            and pb.supported_r2c(x.shape, ax, x.dtype)):
         return pb.rfft_axis_p(x, ax, hext=hext)
     N = x.shape[ax]
     p = jnp.stack([x, jnp.zeros_like(x)])
