@@ -1,10 +1,14 @@
-"""Benchmark: 3-D c2c FFT GFLOP/s/chip (5N*log2N flop model).
+"""Benchmark: 3-D c2c FFT GFLOP/s/chip (5N*log2N flop model) + transposes/s.
 
-Runs the planar-complex MXU pipeline (the TPU production path — no
-complex-typed HLO; see mpi4py_fft_tpu/parallel/planar.py).
+North-star config (BASELINE.json): 1024^3 c2c f32.  Runs the
+planar-complex pipeline (the TPU production path — no complex-typed HLO;
+see mpi4py_fft_tpu/parallel/planar.py) with donated buffers so the
+2 x 4 GiB planar volumes fit HBM; falls back to 512^3/256^3 only if the
+chip's HBM cannot hold the 1024^3 working set.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "transposes_per_s": ..., "transpose_GBps": ..., "bench_n": ...}
 
 vs_baseline is the speedup over single-process numpy (pocketfft) on the
 host CPU — the closest stand-in for the reference's FFTW-backed serial
@@ -23,9 +27,104 @@ os.environ.setdefault('MPI4PY_FFT_TPU_PALLAS', 'off')
 import numpy as np
 
 
-def main():
+def _sync(v):
+    """Scalar D2H fetch: forces the ordered execution queue to drain
+    (block_until_ready is unreliable on tunneled platforms)."""
+    import jax
+    return float(np.asarray(jax.device_get(v.ravel()[:1]))[0])
+
+
+def _bench_fft(n, reps, chain):
+    """Return (seconds per single 3-D transform, pfft) at n^3, or raise."""
     import jax
     import jax.numpy as jnp
+    from mpi4py_fft_tpu.parallel.planar import PlanarPFFT
+
+    N = (n, n, n)
+    pfft = PlanarPFFT(None, N, dtype='F')
+
+    # Production-shaped workload: `chain` normalized-forward/backward
+    # pairs fused in ONE jitted call with a DONATED input — XLA then
+    # ping-pongs two planar buffers (2 x 8 bytes/elem at f32), which is
+    # what lets 1024^3 fit a 16 GB chip.  A spectral solver step runs
+    # dozens of transforms per dispatch (36/timestep in the DNS example),
+    # so this is the deployment shape, and it also amortizes the
+    # per-dispatch tunnel latency of this environment.
+    def step(q):
+        for _ in range(chain):
+            q = pfft.backward_fn(pfft.forward_fn(q, normalize=True),
+                                 normalize=False)
+        return q
+    fwd = jax.jit(step, donate_argnums=(0,))
+    per_call = 2 * chain
+
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(rng.standard_normal((2,) + N).astype(np.float32))
+    y = fwd(p)          # compile + warmup (donates p)
+    _sync(y)
+    t0 = time.perf_counter()
+    _sync(y)
+    t_sync = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        y = fwd(y)
+    _sync(y)
+    dt = max(time.perf_counter() - t0 - t_sync, 1e-9) / (reps * per_call)
+    return dt, pfft
+
+
+def _bench_transposes(n, reps):
+    """Transposes/s of the full planar volume (the data-movement path of a
+    pencil stage; on >1 devices this is the all-to-all, on 1 chip the HBM
+    relayout).  Folded from scripts/bench_transposes.py."""
+    import jax
+    import jax.numpy as jnp
+
+    ndev = len(jax.devices())
+    chain = 4
+    if ndev > 1:
+        from mpi4py_fft_tpu.parallel import Subcomm, Pencil
+        sub = Subcomm(None, [0, 0, 1])
+        pA = Pencil(sub, (n, n, n), axis=2)
+        pB = pA.pencil(0)
+
+        def rot(x):
+            for _ in range(chain // 2):
+                x = pB.constrain(x)
+                x = pA.constrain(x)
+            return x
+        f = jax.jit(rot)
+        x = jax.device_put(
+            jnp.zeros((n, n, n), jnp.float32), pA.boundary_sharding())
+        bytes_moved = n ** 3 * 4
+    else:
+        c = np.float32(1.0000001)
+
+        def rot(x):
+            for _ in range(chain):
+                x = jnp.swapaxes(x, 1, 3) * c   # scale defeats cancellation
+            return x
+        f = jax.jit(rot, donate_argnums=(0,))
+        x = jnp.zeros((2, n, n, n), jnp.float32)
+        bytes_moved = 2 * n ** 3 * 4
+    y = f(x)
+    _sync(y)
+    t0 = time.perf_counter()
+    _sync(y)
+    t_sync = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        y = f(y)
+    _sync(y)
+    dt = max(time.perf_counter() - t0 - t_sync, 1e-9) / (reps * chain)
+    return 1.0 / dt, bytes_moved / dt / 1e9
+
+
+def main():
+    import jax
+    if os.environ.get('JAX_PLATFORMS') == 'cpu':
+        # this environment pins the platform; honor an explicit cpu ask
+        jax.config.update('jax_platforms', 'cpu')
     from mpi4py_fft_tpu.parallel.planar import PlanarPFFT
 
     # wisdom: persist compiled plans across bench runs
@@ -33,66 +132,31 @@ def main():
     jax.config.update('jax_compilation_cache_dir', cache)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
 
-    n = int(os.environ.get('BENCH_N', 256))
-    reps = int(os.environ.get('BENCH_REPS', 10))
-    N = (n, n, n)
-    ntot = float(np.prod(N))
-    flops = 5.0 * ntot * np.log2(ntot)  # 5N*log2(N) model (BASELINE.json)
+    n_req = int(os.environ.get('BENCH_N', 1024))
+    reps = int(os.environ.get('BENCH_REPS', 3))
+    chain = int(os.environ.get('BENCH_CHAIN', 2))
 
-    pfft = PlanarPFFT(None, N, dtype='F')
-
-    # Production-shaped workload: K normalized-forward/backward pairs
-    # chained inside ONE jitted call (a spectral solver step runs dozens
-    # of transforms per dispatch — e.g. 36/timestep in the DNS example).
-    # This also amortizes the per-dispatch tunnel latency of this
-    # environment, which is host plumbing, not chip time.
-    K = int(os.environ.get('BENCH_CHAIN', 4))
-
-    def make_step(k):
-        if k == 0:
-            return (jax.jit(lambda q: pfft.forward_fn(q, normalize=False)),
-                    1)
-
-        def step(q):
-            for _ in range(k):
-                q = pfft.backward_fn(pfft.forward_fn(q, normalize=True),
-                                     normalize=False)
-            return q
-        return jax.jit(step), 2 * k
-
-    rng = np.random.default_rng(0)
-    p = jnp.asarray(rng.standard_normal((2,) + N).astype(np.float32))
-
-    def sync(v):
-        # scalar D2H fetch: forces the full ordered execution queue to
-        # drain (block_until_ready is unreliable on tunneled platforms)
-        return float(np.asarray(jax.device_get(v[0, 0, 0, :1]))[0])
-
-    # warm up at the requested chain depth; fall back to shallower chains
-    # if the runtime rejects the larger fused program
-    for k in [K] + [x for x in (2, 1, 0) if x < K]:
-        fwd, per_call = make_step(k)
+    import sys
+    dt = None
+    for n in [n_req] + [m for m in (512, 256) if m < n_req]:
         try:
-            y = fwd(p)
-            sync(y)  # compile + warmup
+            dt, _ = _bench_fft(n, reps, chain)
             break
         except Exception as e:                      # noqa: BLE001
-            import sys
-            print(f"# chain K={k} failed ({type(e).__name__}); retrying",
-                  file=sys.stderr, flush=True)
+            print(f"# {n}^3 failed ({type(e).__name__}: {str(e)[:120]}); "
+                  "falling back", file=sys.stderr, flush=True)
             jax.clear_caches()
-    # sync overhead alone (queue already drained)
-    t0 = time.perf_counter()
-    sync(y)
-    t_sync = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        y = fwd(p)
-    sync(y)
-    dt = max(time.perf_counter() - t0 - t_sync, 1e-9) / (reps * per_call)
+    assert dt is not None, "no benchmark size succeeded"
+
+    ntot = float(n) ** 3
+    flops = 5.0 * ntot * np.log2(ntot)  # 5N*log2(N) model (BASELINE.json)
     gflops = flops / dt / 1e9
 
+    tps, tgbps = _bench_transposes(n, reps)
+
     # correctness anchor on a small sub-problem (planar vs numpy)
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
     m = 64
     pf = PlanarPFFT(None, (m, m, m), dtype='F')
     xs = (rng.standard_normal((m, m, m)) +
@@ -104,8 +168,9 @@ def main():
     rel = float(np.linalg.norm(got - ref) / np.linalg.norm(ref))
     assert rel < 1e-4, f"correctness check failed: rel err {rel}"
 
-    # numpy host baseline (1 rep; pocketfft, same dtype class)
-    xn = (np.asarray(p[0]) + 1j * np.asarray(p[1])).astype(np.complex64)
+    # numpy host baseline (1 rep; pocketfft, same dtype class, same size)
+    xn = (rng.standard_normal((n, n, n)) +
+          1j * rng.standard_normal((n, n, n))).astype(np.complex64)
     t0 = time.perf_counter()
     _ = np.fft.fftn(xn)
     dt_np = time.perf_counter() - t0
@@ -116,6 +181,10 @@ def main():
         "value": round(gflops, 2),
         "unit": "GFLOP/s (5N log2 N model)",
         "vs_baseline": round(gflops / gflops_np, 2),
+        "transposes_per_s": round(tps, 2),
+        "transpose_GBps": round(tgbps, 1),
+        "bench_n": n,
+        "fft_ms": round(dt * 1e3, 3),
     }))
 
 

@@ -29,6 +29,17 @@ from .parallel.comm import COMM_WORLD
 __all__ = ['DistArray', 'newDistArray', 'Function']
 
 
+def _host_storage(dtype):
+    """True when arrays of ``dtype`` must live on the host: the target TPU
+    runtime cannot round-trip complex dtypes at all, so logically-complex
+    user arrays stay host-side while all device compute runs planar
+    (see parallel/mpifft.py complex_device_ok)."""
+    if np.dtype(dtype).kind != 'c':
+        return False
+    from .parallel.mpifft import complex_device_ok
+    return not complex_device_ok()
+
+
 class DistArray(object):
     """Distributed global array with pencil metadata
     (reference: distarray.py:10-439)."""
@@ -39,15 +50,21 @@ class DistArray(object):
         global_shape = tuple(int(s) for s in global_shape)
         dtype = np.dtype(dtype)
         self._rank = rank
+        self._global_shape = global_shape
         if len(global_shape[rank:]) < 2:
             # 1-D (or degenerate) case: undistributed, no pencil
             # (reference: distarray.py:60-66)
             self._p0 = None
             if buffer is not None:
-                self._data = jnp.asarray(np.asarray(buffer), dtype=dtype)
+                self._data = jax.device_put(
+                    np.asarray(buffer, dtype=dtype))
             else:
                 fill = val if isinstance(val, Number) else 0
-                self._data = jnp.full(global_shape, fill, dtype=dtype)
+                # host-side fill + device_put: no device HLO runs, so
+                # complex DistArrays can be materialized even on TPU
+                # toolchains that reject complex-typed HLO
+                self._data = jax.device_put(
+                    np.full(global_shape, fill, dtype=dtype))
             return
 
         p0 = None
@@ -86,24 +103,100 @@ class DistArray(object):
         assert self._p0.mesh is not None, \
             "DistArray needs a meshed subcomm (Subcomm or mesh=...)"
 
-        sharding = self._p0.boundary_sharding(rank)
+        if _host_storage(dtype):
+            # complex-incapable chip: host storage, true shape, no padding
+            if buffer is not None:
+                if isinstance(buffer, DistArray):
+                    buffer = np.asarray(buffer)
+                self._data = np.array(buffer, dtype=dtype)
+                assert self._data.shape == global_shape
+            else:
+                fill = val if isinstance(val, Number) else 0
+                self._data = np.full(global_shape, fill, dtype=dtype)
+            return
+
+        # At-rest storage is the pencil's PADDED global shape: every
+        # distributed axis is rounded up to a multiple of its device-group
+        # size (equal to the true shape for all production extents), with
+        # zeros in the trailing pad rows.  jax.Array shards must be
+        # equal-sized, so this is the only way a 13-extent axis can be
+        # *actually distributed* over 4 devices; shard r's valid rows are
+        # then exactly the reference block distribution
+        # (reference _blockdist: pencil.py:5-9).
         if buffer is not None:
             if isinstance(buffer, DistArray):
-                buffer = buffer._data
-            data = jnp.asarray(buffer, dtype=dtype)
+                buffer = np.asarray(buffer)
+            data = np.asarray(buffer, dtype=dtype)
             assert data.shape == global_shape
-            self._data = jax.device_put(data, sharding)
+            self._data = jax.device_put(self._embed(data),
+                                        self._storage_sharding())
         else:
             fill = val if isinstance(val, Number) else 0
-            self._data = jax.device_put(
-                jnp.full(global_shape, fill, dtype=dtype), sharding)
+            host = np.zeros(self._storage_shape(), dtype=dtype)
+            if fill != 0:
+                host[self._valid_region()] = fill
+            self._data = jax.device_put(host, self._storage_sharding())
+
+    # -- padded-storage helpers ---------------------------------------------
+    @property
+    def host_stored(self):
+        """True when the data lives host-side (complex dtype on a chip
+        that cannot round-trip complex arrays)."""
+        return isinstance(self._data, np.ndarray)
+
+    @property
+    def padded(self):
+        """True when the at-rest buffer carries zero pad rows (some axis
+        extent does not divide its device-group size)."""
+        return (self._p0 is not None and not self.host_stored
+                and self._p0.needs_padding())
+
+    def _storage_shape(self):
+        if self._p0 is None:
+            return self._global_shape
+        return self._global_shape[:self._rank] + self._p0.padded_shape()
+
+    def _storage_sharding(self, p0=None):
+        p0 = self._p0 if p0 is None else p0
+        return p0.sharding(self._rank)
+
+    def _valid_region(self):
+        """Host-side index of the true data inside the padded buffer (the
+        contiguous leading corner: pad rows are all at the high end)."""
+        return tuple([slice(None)] * self._rank +
+                     [slice(0, n) for n in self._global_shape[self._rank:]])
+
+    def _embed(self, host):
+        """True-shape host array -> padded-storage host array."""
+        sshape = self._storage_shape()
+        if sshape == host.shape:
+            return np.ascontiguousarray(host)
+        out = np.zeros(sshape, dtype=host.dtype)
+        out[self._valid_region()] = host
+        return out
+
+    def _set_global(self, y):
+        """Adopt ``y`` (device or host array of the TRUE global shape) as
+        this array's contents, repadding into at-rest storage as needed."""
+        if self.host_stored:
+            from .parallel.mpifft import _host_value
+            self._data = np.asarray(_host_value(y), dtype=self._data.dtype)
+            return
+        if self._p0 is None or not self.padded:
+            if isinstance(y, np.ndarray):
+                y = jax.device_put(y, self._sharding_for_rank())
+            self._data = y
+            return
+        from .parallel.mpifft import _host_value
+        self._data = jax.device_put(self._embed(_host_value(y)),
+                                    self._storage_sharding())
 
     # -- basic array protocol ---------------------------------------------
     @property
     def shape(self):
         """Global shape.  NOTE: the reference's .shape is the local block
         shape (distarray.py docstring); here arrays are global-view."""
-        return tuple(self._data.shape)
+        return self._global_shape
 
     @property
     def dtype(self):
@@ -117,8 +210,51 @@ class DistArray(object):
         return self.shape[0]
 
     def __array__(self, dtype=None, copy=None):
-        a = np.asarray(self._data)
+        if self.host_stored or self._data.is_fully_addressable:
+            a = np.asarray(self._data)
+        else:
+            # multi-process: gather the global value on every process
+            # (role of the reference's temp-parallel-HDF5 gather,
+            # distarray.py:214-241)
+            from jax.experimental import multihost_utils
+            a = np.asarray(
+                multihost_utils.process_allgather(self._data, tiled=True))
+        if a.shape != self._global_shape:      # strip storage padding
+            a = a[self._valid_region()]
         return a.astype(dtype) if dtype is not None else a
+
+    def addressable_blocks(self):
+        """Yield ``(global_slice, block)`` for every shard this process
+        owns — the valid (unpadded) part of each addressable shard with
+        its true-coordinate global position.  This is the per-rank
+        hyperslab view the reference IO writers use
+        (reference: io/h5py_file.py:147-152)."""
+        if self._p0 is None or self.host_stored:
+            yield (tuple(slice(0, n) for n in self._global_shape),
+                   np.asarray(self._data))
+            return
+        devlist = list(self._p0.mesh.devices.flat)
+        seen = set()
+        for shard in self._data.addressable_shards:
+            d = devlist.index(shard.device)
+            sl = self.local_slice(d)
+            if sl in seen:          # replicated axes: write once
+                continue
+            seen.add(sl)
+            data = np.asarray(shard.data)
+            # shard may carry padding rows (padded storage) or full extents
+            # (replicated axes of boundary-sharded data): keep valid rows
+            take = []
+            for i in range(self._rank):
+                take.append(slice(None))
+            for i, s in enumerate(sl[self._rank:]):
+                n = s.stop - s.start
+                if data.shape[self._rank + i] == self._global_shape[
+                        self._rank + i]:
+                    take.append(s)              # replicated: full extent
+                else:
+                    take.append(slice(0, n))    # padded block: valid head
+            yield sl, data[tuple(take)]
 
     def __repr__(self):
         return (f"DistArray(shape={self.shape}, dtype={self.dtype}, "
@@ -165,25 +301,27 @@ class DistArray(object):
 
     @property
     def sharding(self):
-        return self._data.sharding
+        return None if self.host_stored else self._data.sharding
 
     @property
     def v(self):
         """The underlying global jax.Array (the reference's ``.v`` is the
-        local ndarray view, distarray.py:177-180)."""
+        local ndarray view, distarray.py:177-180).  NOTE: for uneven
+        extents this is the PADDED at-rest buffer (see :attr:`padded`);
+        use ``np.asarray(self)`` for the true-shape values."""
         return self._data
 
     # -- indexing (reference: distarray.py:155-175) ------------------------
     def __getitem__(self, i):
         if self.ndim == 1:
-            return np.asarray(self._data)[i]
+            return self.__array__()[i]
         if isinstance(i, (Integral, slice)) and self.rank > 0:
             return self._component(i)
         if isinstance(i, (Integral, slice)) and self.rank == 0:
-            return np.asarray(self._data)[i]
+            return self.__array__()[i]
         if isinstance(i, tuple) and len(i) <= self.rank:
             return self._component(i)
-        return np.asarray(self._data)[i]
+        return self.__array__()[i]
 
     def _component(self, i):
         data = self._data[i]
@@ -193,23 +331,33 @@ class DistArray(object):
         out._p0 = self._p0
         out._rank = new_rank
         out._data = data
+        # only the first ``rank`` (undistributed) axes can be consumed or
+        # sliced here; the distributed trailing axes keep their extents
+        out._global_shape = (tuple(data.shape[:new_rank])
+                             + self._global_shape[self.rank:])
         return out
 
     def __setitem__(self, i, value):
         if isinstance(value, DistArray):
-            value = value._data
+            value = np.asarray(value)
         if i is Ellipsis or (isinstance(i, slice) and i == slice(None)):
-            data = jnp.broadcast_to(jnp.asarray(value, dtype=self.dtype),
-                                    self.shape)
-            self._data = jax.device_put(data, self._sharding_for_rank())
+            # host-side broadcast: complex-HLO-free (works on TPU)
+            data = np.ascontiguousarray(np.broadcast_to(
+                np.asarray(value, dtype=self.dtype), self.shape))
+            self._set_global(data)
+        elif self.host_stored:
+            self._data[i] = value
         else:
+            # indices are in TRUE coordinates; the padded buffer stores
+            # data at identical offsets (pad rows are all at the high
+            # end), so an in-bounds .at[] update needs no translation
             self._data = self._data.at[i].set(jnp.asarray(value))
             self._data = jax.device_put(self._data, self._sharding_for_rank())
 
     def _sharding_for_rank(self):
         if self._p0 is None:
             return self._data.sharding
-        return self._p0.boundary_sharding(self.rank)
+        return self._storage_sharding()
 
     # -- arithmetic (elementwise ops preserve sharding) --------------------
     def _wrap(self, data):
@@ -217,10 +365,17 @@ class DistArray(object):
         out._p0 = self._p0
         out._rank = self._rank
         out._data = data
+        out._global_shape = self._global_shape
         return out
 
     def _other(self, other):
-        return other._data if isinstance(other, DistArray) else other
+        if isinstance(other, DistArray):
+            return other._data
+        if (self.padded and np.ndim(other) > 0
+                and tuple(np.shape(other)) == self._global_shape):
+            # true-shaped operand against padded storage: embed host-side
+            return jnp.asarray(self._embed(np.asarray(other)))
+        return other
 
     def __add__(self, o): return self._wrap(self._data + self._other(o))
     def __radd__(self, o): return self._wrap(self._other(o) + self._data)
@@ -247,7 +402,7 @@ class DistArray(object):
         parallel-HDF5 file and returns on rank 0 only
         (distarray.py:214-241); the global-view model makes this a direct
         device→host slice, returned on every caller."""
-        return np.asarray(self._data)[tuple(gslice)]
+        return self.__array__()[tuple(gslice)]
 
     def local_slice(self, device_index=None):
         """View of one device's shard into the global array
@@ -302,9 +457,33 @@ class DistArray(object):
                             dtype=self.dtype,
                             alignment=axis,
                             rank=self.rank)
-        out._data = jax.device_put(self._data, p1.boundary_sharding(self.rank))
+        out._data = self._reshard_data(p1)
         transfer.destroy()
         return out
+
+    def _reshard_data(self, p1):
+        """Move this array's padded-storage data into pencil ``p1``'s
+        padded storage (the role of the reference's Alltoallw transfer,
+        pencil.py:101-209).  Evenly-divisible shapes are a pure sharding
+        change (one XLA all-to-all); uneven shapes additionally unpad and
+        repad inside one jitted program."""
+        rank = self.rank
+        if self.host_stored:
+            # host-side storage: redistribution is metadata-only
+            return self._data
+        dst = p1.sharding(rank)
+        if not (self.padded or p1.needs_padding()):
+            return jax.device_put(self._data, dst)
+        true_trail = self._global_shape[rank:]
+        pad1 = p1.padded_shape()
+
+        def f(x):
+            x = x[(slice(None),) * rank +
+                  tuple(slice(0, n) for n in true_trail)]
+            widths = [(0, 0)] * rank + [(0, pn - n)
+                                        for pn, n in zip(pad1, true_trail)]
+            return jnp.pad(x, widths)
+        return jax.jit(f, out_shardings=dst)(self._data)
 
     # -- IO (reference: distarray.py:365-439) ------------------------------
     def write(self, filename, name='darray', step=0, global_slice=None,

@@ -10,11 +10,20 @@ identical resulting file layout:
     name/{ndim}D/{slicename}/{step}      global-slice snapshots
     name/domain/x{i} | name/mesh/x{i}    domain metadata
 """
+import os
+
 import numpy as np
 
 from .file_base import FileBase
 
 __all__ = ('HDF5File',)
+
+# Multi-process access is serialized by our own global-device barriers
+# (see :meth:`HDF5File.write`); HDF5's advisory file locking would
+# deadlock the turn-taking (every process opens the file at least once),
+# so it is disabled for this process — the role of the reference's
+# MPI-IO driver coordination (reference: io/h5py_file.py:33).
+os.environ.setdefault('HDF5_USE_FILE_LOCKING', 'FALSE')
 
 
 class HDF5File(FileBase):
@@ -24,8 +33,14 @@ class HDF5File(FileBase):
     def __init__(self, h5name, domain=None, mode='a', **kw):
         FileBase.__init__(self, h5name, domain=domain)
         import h5py
-        self.f = h5py.File(h5name, mode, **kw)
-        self.close()
+        import jax
+        if jax.process_count() == 1 or jax.process_index() == 0:
+            self.f = h5py.File(h5name, mode, **kw)
+            self.close()
+        if jax.process_count() > 1:
+            # other processes wait for the file to exist
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("h5open")
 
     def _check_domain(self, group, field):
         """Store domain/mesh metadata + shape/rank attrs
@@ -60,10 +75,25 @@ class HDF5File(FileBase):
         self.f = h5py.File(self.filename, mode)
 
     def write(self, step, fields, **kw):
-        """Write snapshot ``step`` (reference: io/h5py_file.py:74-119)."""
-        self.open()
-        FileBase.write(self, step, fields, **kw)
-        self.close()
+        """Write snapshot ``step`` (reference: io/h5py_file.py:74-119).
+
+        Each process writes only the hyperslabs of the shards it can
+        address (the reference's per-rank mpio writes,
+        io/h5py_file.py:147-152).  Without an MPI-IO driver the processes
+        take turns on the file, serialized by a global device barrier."""
+        import jax
+        if jax.process_count() == 1:
+            self.open()
+            FileBase.write(self, step, fields, **kw)
+            self.close()
+            return
+        from jax.experimental import multihost_utils
+        for p in range(jax.process_count()):
+            if jax.process_index() == p:
+                self.open()
+                FileBase.write(self, step, fields, **kw)
+                self.close()
+            multihost_utils.sync_global_devices(f"h5w{p}")
 
     def read(self, u, name, **kw):
         """Read whole snapshot into DistArray ``u``; data is resharded to
@@ -71,7 +101,7 @@ class HDF5File(FileBase):
         differ from the writer's (reference: io/h5py_file.py:121-127 and
         docs/io.rst:61-62)."""
         step = kw.get('step', 0)
-        self.open()
+        self.open('r')
         dset = "/".join((name, f"{u.dimensions}D", str(step)))
         u[...] = np.asarray(self.f[dset])
         self.close()
@@ -89,14 +119,25 @@ class HDF5File(FileBase):
         N = field.global_shape
         self.f[group].require_dataset(
             str(step), shape=tuple(np.take(N, sp)), dtype=field.dtype)
-        self.f["/".join((group, str(step)))][...] = \
-            np.asarray(field)[tuple(slices)]
+        import jax
+        if jax.process_index() == 0:
+            # global-slice writes gather the slice (cheap, lower-dim) and
+            # are emitted once (the reference writes from owning ranks,
+            # io/h5py_file.py:129-145)
+            self.f["/".join((group, str(step)))][...] = \
+                np.asarray(field)[tuple(slices)]
 
     def _write_group(self, name, u, step, **kw):
-        """Write the whole global array
+        """Write the whole global array as per-shard hyperslabs — each
+        process touches only the blocks it can address
         (reference: io/h5py_file.py:147-152)."""
         group = "/".join((name, f"{u.dimensions}D"))
         self.f.require_group(group)
         self.f[group].require_dataset(str(step), shape=u.global_shape,
                                       dtype=u.dtype)
-        self.f["/".join((group, str(step)))][...] = np.asarray(u)
+        dset = self.f["/".join((group, str(step)))]
+        if hasattr(u, 'addressable_blocks'):
+            for sl, block in u.addressable_blocks():
+                dset[sl] = block
+        else:
+            dset[...] = np.asarray(u)

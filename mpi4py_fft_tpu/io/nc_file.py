@@ -127,7 +127,22 @@ class NCFile(FileBase):
 
     def write(self, step, fields, **kw):
         """Write snapshot ``step``; the time axis is unlimited and ``step``
-        values map to consecutive records (reference: io/nc_file.py:101-160)."""
+        values map to consecutive records (reference: io/nc_file.py:101-160).
+
+        Multi-process: processes take turns on the file (serialized by a
+        global barrier), each writing only its addressable hyperslabs —
+        the role of the reference's parallel-netCDF4 collective writes."""
+        import jax
+        if jax.process_count() == 1:
+            self._write_turn(step, fields, **kw)
+            return
+        from jax.experimental import multihost_utils
+        for p in range(jax.process_count()):
+            if jax.process_index() == p:
+                self._write_turn(step, fields, **kw)
+            multihost_utils.sync_global_devices(f"ncw{p}")
+
+    def _write_turn(self, step, fields, **kw):
         self.open()
         nc_t = self.f.variables.get('time')
         _set_collective(nc_t, True)
@@ -176,5 +191,11 @@ class NCFile(FileBase):
         else:
             h = self.f.variables[name]
         _set_collective(h, True)
-        h[step] = np.asarray(u)
+        if hasattr(u, 'addressable_blocks'):
+            # per-shard hyperslab writes (reference: io/nc_file.py:196-206
+            # writes each rank's local_slice)
+            for sl, block in u.addressable_blocks():
+                h[(step,) + sl] = block
+        else:
+            h[step] = np.asarray(u)
         self.f.sync()

@@ -108,6 +108,65 @@ def pad_spectral(trunc, padded_shape, axis, real_transform, xp=jnp):
 
 
 # ---------------------------------------------------------------------------
+# planar (pipeline-form) truncation / zero-padding — the same 3/2-rule
+# semantics on planar (2,)+S real data, used by the complex-free pipeline
+# (reference semantics: libfft.py:263-311)
+# ---------------------------------------------------------------------------
+
+def _axslice(p, ax, sl):
+    s = [slice(None)] * p.ndim
+    s[ax] = sl
+    return tuple(s)
+
+
+def truncate_planar(p, ax, Nt, hermitian):
+    """Planar spectral truncation along planar-coords axis ``ax`` to length
+    ``Nt`` (semantics of reference libfft.py:263-284 on planar data)."""
+    if hermitian:
+        t = p[_axslice(p, ax, slice(0, Nt))]
+        if Nt % 2 == 0:
+            re = _axslice(t, ax, slice(Nt - 1, Nt))[1:]  # index within part
+            t = t.at[(0,) + re].multiply(2.0)
+            t = t.at[(1,) + re].set(0.0)
+        return t
+    Np = p.shape[ax]
+    head = p[_axslice(p, ax, slice(0, Nt // 2 + 1))]
+    tail = p[_axslice(p, ax, slice(Np - Nt // 2, Np))]
+    sh = list(p.shape)
+    sh[ax] = Nt
+    t = jnp.zeros(sh, dtype=p.dtype)
+    t = t.at[_axslice(t, ax, slice(0, Nt // 2 + 1))].set(head)
+    t = t.at[_axslice(t, ax, slice(Nt - Nt // 2, Nt))].add(tail)
+    return t
+
+
+def pad_planar(p, ax, Np, hermitian):
+    """Planar spectral zero-padding along planar-coords axis ``ax`` to
+    length ``Np`` with the symmetric Fourier interpolator for even N
+    (semantics of reference libfft.py:286-311 on planar data)."""
+    Nt = p.shape[ax]
+    sh = list(p.shape)
+    sh[ax] = Np
+    out = jnp.zeros(sh, dtype=p.dtype)
+    if hermitian:
+        out = out.at[_axslice(out, ax, slice(0, Nt))].set(p)
+        if Nt % 2 == 0:
+            e = _axslice(out, ax, slice(Nt - 1, Nt))[1:]
+            out = out.at[(0,) + e].multiply(0.5)
+            out = out.at[(1,) + e].set(0.0)
+        return out
+    out = out.at[_axslice(out, ax, slice(0, Nt // 2 + 1))].set(
+        p[_axslice(p, ax, slice(0, Nt // 2 + 1))])
+    out = out.at[_axslice(out, ax, slice(Np - Nt // 2, Np))].set(
+        p[_axslice(p, ax, slice(Nt - Nt // 2, Nt))])
+    if Nt % 2 == 0:
+        out = out.at[_axslice(out, ax, slice(Nt // 2, Nt // 2 + 1))].multiply(0.5)
+        out = out.at[_axslice(out, ax,
+                              slice(Np - Nt // 2, Np - Nt // 2 + 1))].multiply(0.5)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # backend planners
 # ---------------------------------------------------------------------------
 
@@ -325,6 +384,59 @@ class FFT(FFTBase):
         if normalize:
             y = y * xp.asarray(self.M, dtype=np.asarray(y).real.dtype
                                if xp is np else y.real.dtype)
+        return y
+
+    # ------------------------------------------------------------------
+    # planar (pipeline-form) pure path — complex-free HLO end to end.
+    # Logically complex stage data travels as planar real (2,)+shape;
+    # this is what PFFT(backend='jax') fuses into its XLA program so the
+    # full reference API runs on TPU toolchains without complex support.
+    # ------------------------------------------------------------------
+    @property
+    def input_planar(self):
+        """True if this stage's pipeline-form input is planar."""
+        return not self._host_backend and self.fwd.input_planar
+
+    @property
+    def output_planar(self):
+        """True if this stage's pipeline-form output is planar."""
+        return not self._host_backend and self.fwd.output_planar
+
+    def forward_fn_p(self, p, normalize=True):
+        """Pure planar forward stage: transform, truncation, normalization
+        (pipeline form of :meth:`forward_fn`)."""
+        assert not self._host_backend
+        y = self.fwd.fn_p(p, normalize=False)
+        if abs(self.padding_factor - 1.0) > 1e-8:
+            axis = self.axes[-1]
+            Nt = self.forward.output_array.shape[axis]
+            if self.output_planar:
+                y = truncate_planar(y, 1 + axis, Nt,
+                                    hermitian=self.real_transform)
+            else:
+                y = truncate_spectral(
+                    y, tuple(self.forward.output_array.shape), axis,
+                    self.real_transform, xp=jnp)
+        if normalize:
+            y = y * jnp.asarray(self.M, dtype=y.dtype)
+        return y
+
+    def backward_fn_p(self, p, normalize=False):
+        """Pure planar backward stage: zero-padding, transform
+        (pipeline form of :meth:`backward_fn`)."""
+        assert not self._host_backend
+        if abs(self.padding_factor - 1.0) > 1e-8:
+            axis = self.axes[-1]
+            Np = self.bck.input_array.shape[axis]
+            if self.bck.input_planar:
+                p = pad_planar(p, 1 + axis, Np,
+                               hermitian=self.real_transform)
+            else:
+                p = pad_spectral(p, tuple(self.bck.input_array.shape), axis,
+                                 self.real_transform, xp=jnp)
+        y = self.bck.fn_p(p, normalize=False)
+        if normalize:
+            y = y * jnp.asarray(self.M, dtype=y.dtype)
         return y
 
     # ------------------------------------------------------------------

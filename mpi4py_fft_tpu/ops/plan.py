@@ -100,6 +100,44 @@ class FFT(object):
         return _execute(x, np.asarray(self.M, dtype=_real_dtype(x.dtype)),
                         self.axes, self.kind, self._last_size, bool(normalize))
 
+    # planar ("pipeline-form") surface: logically complex arrays are real
+    # (2,)+shape planar arrays; real arrays are themselves.  No
+    # complex-typed HLO is emitted anywhere — this is the path every PFFT
+    # stage lowers to so the full pipeline runs on TPU toolchains that
+    # reject complex dtypes (see ops/matfft.py module docs).
+    @property
+    def input_planar(self):
+        """True if the pipeline form of this plan's input is planar."""
+        return np.dtype(self.input_array.dtype).kind == 'c'
+
+    @property
+    def output_planar(self):
+        """True if the pipeline form of this plan's output is planar."""
+        return np.dtype(self.output_array.dtype).kind == 'c'
+
+    def fn_p(self, p, normalize=False):
+        """Pure planar (complex-free) application of this plan.
+
+        ``p`` is the pipeline form of ``input_array`` (planar real
+        (2,)+shape when the logical input is complex); the return value is
+        the pipeline form of ``output_array``.  Kind dispatch mirrors
+        :func:`_execute` (reference: fftw/fftw_planxfftn.c:49-76)."""
+        from . import matfft
+        if isinstance(self.kind, tuple):
+            y = core.r2r(p, self.axes, self.kind)
+        elif self.kind in (C2C_FORWARD, C2C_BACKWARD):
+            y = matfft.fftn_p(p, self.axes,
+                              forward=(self.kind == C2C_FORWARD))
+        elif self.kind == R2C:
+            y = matfft.rfftn_p(p, self.axes)
+        elif self.kind == C2R:
+            y = matfft.irfftn_p(p, self.axes, self._last_size)
+        else:
+            raise ValueError(f"unknown transform kind {self.kind}")
+        if normalize:
+            y = y * np.asarray(self.M, dtype=p.dtype)
+        return y
+
     # -- FFTW-style buffer execute ----------------------------------------
     def __call__(self, input_array=None, output_array=None, normalize=False,
                  implicit=True, **kw):

@@ -25,6 +25,38 @@ from .comm import DeviceComm, COMM_WORLD
 __all__ = ['PFFT', 'Transform']
 
 
+def _host_value(y):
+    """Global host value of a (possibly non-addressable) device array —
+    multi-process safe (role of the reference's implicit local views)."""
+    if isinstance(y, jax.Array) and not y.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(y, tiled=True))
+    return np.asarray(y)
+
+
+_COMPLEX_DEVICE_OK = [None]
+
+
+def complex_device_ok():
+    """Whether this platform can ROUND-TRIP complex-dtyped arrays
+    (device_put + host fetch).  The target TPU toolchain rejects complex
+    at the runtime level — and, probed on hardware, a single failed
+    complex transfer POISONS the whole session (subsequent f32 ops also
+    fail UNIMPLEMENTED), so this must NOT be probed dynamically.  On the
+    'tpu' backend complex storage is assumed unavailable; logically
+    complex user arrays then live on the host and all device compute
+    stays planar (see ops/matfft.py).  Override with
+    MPI4PY_FFT_TPU_COMPLEX_DEVICE=1 on TPU stacks with complex support."""
+    if _COMPLEX_DEVICE_OK[0] is None:
+        import os
+        env = os.environ.get('MPI4PY_FFT_TPU_COMPLEX_DEVICE')
+        if env is not None:
+            _COMPLEX_DEVICE_OK[0] = env not in ('0', 'false', 'False')
+        else:
+            _COMPLEX_DEVICE_OK[0] = jax.default_backend() not in ('tpu',)
+    return _COMPLEX_DEVICE_OK[0]
+
+
 class Transform(object):
     """One direction of a parallel transform (reference: mpifft.py:8-79).
 
@@ -37,7 +69,7 @@ class Transform(object):
 
     def __init__(self, pfft, stages, reshards, pencils, in_shape, in_dtype,
                  out_shape, out_dtype, default_normalize, host_mode,
-                 stage_pencils=None):
+                 stage_pencils=None, planars=None):
         assert len(stages) == len(reshards) + 1 and len(pencils) == 2
         self._pfft = pfft
         self._stages = tuple(stages)
@@ -55,6 +87,15 @@ class Transform(object):
         self._out_dtype = np.dtype(out_dtype)
         self._default_normalize = default_normalize
         self._host_mode = host_mode
+        # planar pipeline: ``planars[i]`` says whether the data *entering*
+        # stage i is planar ((2,)+shape real carrying a logical complex
+        # array); planars[-1] describes the output.  Complex dtypes exist
+        # only at the host boundary — the traced program is complex-free
+        # HLO and therefore runs on the target TPU.
+        if planars is None:
+            planars = (False,) * (len(stages) + 1)
+        assert len(planars) == len(stages) + 1
+        self._planars = tuple(bool(b) for b in planars)
         self._input_buffer = None
         self._output_buffer = None
         if host_mode:
@@ -62,26 +103,65 @@ class Transform(object):
         else:
             self._jit = jax.jit(self._impl, static_argnums=(1,))
 
-    # -- pure pipeline -----------------------------------------------------
+    # -- pure pipeline (pipeline form: complex data is planar) -------------
     def _impl(self, x, normalize):
-        x = self._pencil[0].constrain(x)
+        pl = self._planars
+        x = self._pencil[0].constrain(x, rank=int(pl[0]))
         with jax.named_scope("pfft_stage0"):
             x = self._stages[0](x, normalize)
-            x = self._stage_pencils[0].constrain(x)
+            x = self._stage_pencils[0].constrain(x, rank=int(pl[1]))
         for i, (stage, reshard) in enumerate(
                 zip(self._stages[1:], self._reshards)):
             with jax.named_scope(f"pfft_transpose{i}"):
-                x = reshard(x)
+                x = reshard(x, rank=int(pl[i + 1]))
             with jax.named_scope(f"pfft_stage{i + 1}"):
                 x = stage(x, normalize)
-                x = self._stage_pencils[i + 1].constrain(x)
-        x = self._pencil[1].constrain(x)
+                x = self._stage_pencils[i + 1].constrain(x,
+                                                         rank=int(pl[i + 2]))
+        x = self._pencil[1].constrain(x, rank=int(pl[-1]))
         return x
 
-    def fn(self, x, normalize=None):
-        """Pure jittable application (compose freely under jax.jit)."""
+    # -- pipeline-form boundary conversion ----------------------------------
+    @staticmethod
+    def _to_planar(z):
+        """Complex (traced or concrete) -> planar real.  Under a trace this
+        emits complex HLO, so it is only for complex-capable backends; the
+        chip path passes planar data to :meth:`fn_p` directly."""
+        return jnp.stack([jnp.real(z), jnp.imag(z)])
+
+    def _from_planar(self, p):
+        from jax import lax
+        return lax.complex(p[0], p[1]).astype(self._out_dtype)
+
+    def fn_p(self, x, normalize=None):
+        """Pure jittable application in pipeline form: logically complex
+        input/output travels as planar real (2,)+shape.  This path lowers
+        to complex-free HLO — use it on TPU."""
         normalize = self._default_normalize if normalize is None else normalize
         return self._impl(x, normalize)
+
+    def fn(self, x, normalize=None):
+        """Pure jittable application (compose freely under jax.jit).
+
+        Complex arrays are accepted and converted at the trace boundary —
+        convenient on complex-capable backends (CPU).  On TPU use
+        :meth:`fn_p` with planar data to stay complex-free."""
+        normalize = self._default_normalize if normalize is None else normalize
+        if self._host_mode:
+            return self._impl_host(np.asarray(x), normalize)
+        was_complex = jnp.asarray(x).dtype.kind == 'c'
+        if self._planars[0] and was_complex:
+            x = self._to_planar(x)
+        y = self._impl(x, normalize)
+        if self._planars[-1] and (was_complex or not self._planars[0]):
+            y = self._from_planar(y)
+        return y
+
+    def _impl_host(self, y, normalize):
+        y = self._stages[0](y, normalize)
+        for stage in self._stages[1:]:
+            y = stage(y, normalize)
+        return y
 
     # -- reference-style properties ---------------------------------------
     @property
@@ -125,28 +205,58 @@ class Transform(object):
         normalize = kw.pop('normalize', self._default_normalize)
         if input_array is None:
             input_array = self.input_array
+        need_host = self._host_mode or self._planars[0]
         if isinstance(input_array, DistArray):
-            x = input_array._data
+            # padded at-rest storage (uneven extents) and host-boundary
+            # conversions need the true-shape values (DistArray.__array__
+            # is multi-process aware); evenly-sharded real arrays pass
+            # through on-device
+            x = np.asarray(input_array) \
+                if (input_array.padded or need_host) else input_array._data
         else:
-            x = jnp.asarray(np.asarray(input_array))
+            x = np.asarray(input_array) if (
+                need_host or not hasattr(input_array, 'shape')) \
+                else input_array
+        assert tuple(x.shape) == self._in_shape, \
+            f"input shape {tuple(x.shape)} != planned {self._in_shape}"
 
         if self._host_mode:
             y = np.asarray(x)
-            y = self._stages[0](y, normalize)
-            for stage in self._stages[1:]:
-                y = stage(y, normalize)
+            y = self._impl_host(y, normalize)
             y = jnp.asarray(np.ascontiguousarray(y))
             y = jax.device_put(y, self._pencil[1].boundary_sharding())
         else:
-            x = x.astype(self._in_dtype)
-            x = jax.device_put(x, self._pencil[0].boundary_sharding())
+            if self._planars[0]:
+                # complex -> planar on the HOST: the device program (and
+                # the device arrays it sees) stay complex-free, so this
+                # path runs on TPU toolchains without complex support
+                xh = x.astype(self._in_dtype)
+                x = np.ascontiguousarray(np.stack([xh.real, xh.imag]))
+                x = jax.device_put(x, self._pencil[0].boundary_sharding(1))
+            else:
+                if isinstance(x, jax.Array):
+                    x = x if x.dtype == self._in_dtype \
+                        else x.astype(self._in_dtype)
+                else:
+                    x = np.asarray(x, dtype=self._in_dtype)
+                x = jax.device_put(x, self._pencil[0].boundary_sharding())
             y = self._jit(x, bool(normalize))
+            if self._planars[-1]:
+                # planar -> complex on the host boundary
+                yh = _host_value(y)
+                y = np.ascontiguousarray(
+                    (yh[0] + 1j * yh[1]).astype(self._out_dtype))
+                if complex_device_ok():
+                    y = jax.device_put(y,
+                                       self._pencil[1].boundary_sharding())
+                # else: stays a host array; DistArray._set_global keeps
+                # complex data host-side on complex-incapable chips
 
         out = self.output_array
-        out._data = y
+        out._set_global(y)
         if output_array is not None:
             if isinstance(output_array, DistArray):
-                output_array._data = y
+                output_array._set_global(y)
             else:
                 output_array[...] = np.asarray(y)
             return output_array
@@ -318,20 +428,34 @@ class PFFT(object):
         in_dtype = self.xfftn[0].forward.input_array.dtype
         out_dtype = self.xfftn[-1].forward.output_array.dtype
 
-        fwd_stages = [o.forward_fn for o in self.xfftn]
+        if host_mode:
+            fwd_stages = [o.forward_fn for o in self.xfftn]
+            bck_stages = [o.backward_fn for o in self.xfftn[::-1]]
+            fwd_planars = bck_planars = None
+        else:
+            # the jax backend fuses the PLANAR stage functions: logically
+            # complex stage data is real (2,)+shape, so the whole traced
+            # pipeline is complex-free HLO and runs on the target TPU
+            fwd_stages = [o.forward_fn_p for o in self.xfftn]
+            bck_stages = [o.backward_fn_p for o in self.xfftn[::-1]]
+            fwd_planars = [self.xfftn[0].input_planar] + \
+                [o.output_planar for o in self.xfftn]
+            bck_planars = [self.xfftn[-1].output_planar] + \
+                [o.input_planar for o in self.xfftn[::-1]]
         fwd_reshards = [t.forward_fn for t in self.transfer]
         self.forward = Transform(
             self, fwd_stages, fwd_reshards, self.pencil,
             self._input_shape, in_dtype, self._output_shape, out_dtype,
-            default_normalize=True, host_mode=host_mode)
+            default_normalize=True, host_mode=host_mode,
+            planars=fwd_planars)
 
-        bck_stages = [o.backward_fn for o in self.xfftn[::-1]]
         # backward reshards: undo each forward rotation, in reverse order
         bck_reshards = [t.backward_fn for t in self.transfer[::-1]]
         self.backward = Transform(
             self, bck_stages, bck_reshards, self.pencil[::-1],
             self._output_shape, out_dtype, self._input_shape, in_dtype,
-            default_normalize=False, host_mode=host_mode)
+            default_normalize=False, host_mode=host_mode,
+            planars=bck_planars)
 
     # ---- reference API (reference: mpifft.py:349-419) -------------------
     def destroy(self):

@@ -200,12 +200,33 @@ class Pencil(object):
         """Divisibility-safe sharding for materialized global arrays: axes
         whose extent is not a multiple of their device-group size are stored
         replicated (JAX jax.Array shards must be equal-sized).  For
-        production power-of-two shapes this equals :meth:`sharding`."""
+        production power-of-two shapes this equals :meth:`sharding`.
+
+        NOTE: for *truly distributed* storage of uneven extents use
+        :meth:`padded_shape` + :meth:`sharding` on a zero-padded buffer —
+        that is what :class:`~mpi4py_fft_tpu.distarray.DistArray` does
+        (reference block distribution: pencil.py:5-9)."""
         assert self.mesh is not None, "Pencil has no mesh (pass a Subcomm)"
         names = [c.name if (c.name is not None and n % c.size == 0) else None
                  for c, n in zip(self.subcomm, self.shape)]
         spec = PartitionSpec(*([None] * rank), *names)
         return NamedSharding(self.mesh, spec)
+
+    # -- padded at-rest storage of uneven extents ---------------------------
+    def padded_shape(self):
+        """Global storage shape with every distributed axis rounded up to a
+        multiple of its device-group size.  Shard ``r`` of the padded
+        buffer then holds rows [r*q, (r+1)*q) with q = ceil(N/p); its
+        *valid* rows are exactly the reference block distribution
+        ``blockdist(N, p, r)`` (reference: pencil.py:5-9) and the rest are
+        zero padding.  Equal to :attr:`shape` whenever every extent
+        divides (all production shapes)."""
+        return tuple(-(-n // c.size) * c.size
+                     for n, c in zip(self.shape, self.subcomm))
+
+    def needs_padding(self):
+        """True if any distributed axis extent does not divide its group."""
+        return self.padded_shape() != self.shape
 
     # -- per-device geometry ----------------------------------------------
     def _axis_coord(self, i, device_index):
@@ -294,24 +315,29 @@ class Transfer(object):
         self.subshapeB, self.axisB = pencilB.subshape, pencilB.axis
 
     # pure (traced) path ---------------------------------------------------
-    def forward_fn(self, x):
-        return self.pencilB.constrain(x)
+    def forward_fn(self, x, rank=0):
+        """``rank`` leading axes (e.g. the planar complex axis) are
+        replicated, not part of the pencil geometry."""
+        return self.pencilB.constrain(x, rank=rank)
 
-    def backward_fn(self, x):
-        return self.pencilA.constrain(x)
+    def backward_fn(self, x, rank=0):
+        return self.pencilA.constrain(x, rank=rank)
 
     # eager path -----------------------------------------------------------
     def _reshard(self, array, dst_pencil, out=None):
         from ..distarray import DistArray  # local import to avoid cycle
         rank = getattr(array, 'rank', 0) or 0
         if isinstance(array, DistArray):
-            data = array._data
+            y = array._reshard_data(dst_pencil)
         else:
             data = jax.numpy.asarray(array)
-        y = jax.device_put(data, dst_pencil.boundary_sharding(rank))
+            y = jax.device_put(data, dst_pencil.boundary_sharding(rank))
         if out is not None:
             if isinstance(out, DistArray):
-                out._data = y
+                if isinstance(array, DistArray):
+                    out._data = y          # already padded-storage form
+                else:
+                    out._set_global(y)     # true-shape value: repad
                 return out
             out[...] = np.asarray(y)
             return out

@@ -73,57 +73,9 @@ def _local_irfft(p, ax, n, scale=None):
     return matfft.irfftn_p(p, (ax,), n, scale=scale)
 
 
-def _axslice(p, ax, sl):
-    s = [slice(None)] * p.ndim
-    s[ax] = sl
-    return tuple(s)
-
-
-def truncate_planar(p, ax, Nt, hermitian):
-    """Planar spectral truncation along planar-coords axis ``ax`` to length
-    ``Nt`` (semantics of reference libfft.py:263-284 on planar data)."""
-    if hermitian:
-        t = p[_axslice(p, ax, slice(0, Nt))]
-        if Nt % 2 == 0:
-            re = _axslice(t, ax, slice(Nt - 1, Nt))[1:]  # index within part
-            t = t.at[(0,) + re].multiply(2.0)
-            t = t.at[(1,) + re].set(0.0)
-        return t
-    Np = p.shape[ax]
-    head = p[_axslice(p, ax, slice(0, Nt // 2 + 1))]
-    tail = p[_axslice(p, ax, slice(Np - Nt // 2, Np))]
-    sh = list(p.shape)
-    sh[ax] = Nt
-    t = jnp.zeros(sh, dtype=p.dtype)
-    t = t.at[_axslice(t, ax, slice(0, Nt // 2 + 1))].set(head)
-    t = t.at[_axslice(t, ax, slice(Nt - Nt // 2, Nt))].add(tail)
-    return t
-
-
-def pad_planar(p, ax, Np, hermitian):
-    """Planar spectral zero-padding along planar-coords axis ``ax`` to
-    length ``Np`` with the symmetric Fourier interpolator for even N
-    (semantics of reference libfft.py:286-311 on planar data)."""
-    Nt = p.shape[ax]
-    sh = list(p.shape)
-    sh[ax] = Np
-    out = jnp.zeros(sh, dtype=p.dtype)
-    if hermitian:
-        out = out.at[_axslice(out, ax, slice(0, Nt))].set(p)
-        if Nt % 2 == 0:
-            e = _axslice(out, ax, slice(Nt - 1, Nt))[1:]
-            out = out.at[(0,) + e].multiply(0.5)
-            out = out.at[(1,) + e].set(0.0)
-        return out
-    out = out.at[_axslice(out, ax, slice(0, Nt // 2 + 1))].set(
-        p[_axslice(p, ax, slice(0, Nt // 2 + 1))])
-    out = out.at[_axslice(out, ax, slice(Np - Nt // 2, Np))].set(
-        p[_axslice(p, ax, slice(Nt - Nt // 2, Nt))])
-    if Nt % 2 == 0:
-        out = out.at[_axslice(out, ax, slice(Nt // 2, Nt // 2 + 1))].multiply(0.5)
-        out = out.at[_axslice(out, ax,
-                              slice(Np - Nt // 2, Np - Nt // 2 + 1))].multiply(0.5)
-    return out
+# planar 3/2-rule truncation / zero-padding live with the other dealiasing
+# helpers in libfft (reference semantics: libfft.py:263-311)
+from ..libfft import _axslice, truncate_planar, pad_planar  # noqa: E402
 
 
 class PlanarPFFT(object):
@@ -475,12 +427,29 @@ class PlanarPFFT(object):
         return y
 
     # ------------------------------------------------------------------
+    def _check_shape(self, x, forward_output):
+        want = tuple(self.global_shape(forward_output))
+        got = tuple(x.shape)
+        if forward_output and self._hpad_ext is not None:
+            # the spectrum is accepted in both the padded (shardable
+            # extent) and the unpadded N//2+1 form — backward repads
+            alt = list(want)
+            alt[1 + self.axes[-1]] = self._hpad_ext \
+                if want[1 + self.axes[-1]] != self._hpad_ext \
+                else self._output_shape[self.axes[-1]]
+            if got == tuple(alt):
+                return
+        assert got == want, \
+            f"array shape {got} does not match the planned shape {want}"
+
     def forward(self, x, normalize=True):
         """Forward transform; real input (r2c) or planar input (c2c)."""
+        self._check_shape(x, False)
         return self._jit_forward(x, bool(normalize))
 
     def backward(self, p, normalize=False):
         """Backward transform; planar input, real (c2r) or planar output."""
+        self._check_shape(p, True)
         return self._jit_backward(p, bool(normalize))
 
     # pure path for composition under user jit

@@ -1,0 +1,87 @@
+"""Worker program for the multi-process distributed tests.
+
+Each worker is one jax.distributed process with 4 virtual CPU devices; the
+global mesh spans ``num_processes * 4`` devices.  This is the exact
+analogue of the reference's oversubscribed ``mpiexec -n 2/4`` distributed
+test runs (reference: tests/runtests.sh:14-37): the same program runs on
+every process, arrays are globally sharded, and no process can address the
+other's shards — exercising the multi-process paths of PFFT, DistArray
+(process_allgather) and the IO writers (per-process hyperslab turns).
+
+Usage: python multiproc_worker.py <process_id> <num_processes> <port> <tmpdir>
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+PROC = int(sys.argv[1])
+NPROCS = int(sys.argv[2])
+PORT = sys.argv[3]
+TMP = sys.argv[4]
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=4").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax                                                    # noqa: E402
+jax.config.update("jax_platforms", "cpu")
+
+from mpi4py_fft_tpu.parallel import multihost                 # noqa: E402
+multihost.initialize(coordinator_address=f"localhost:{PORT}",
+                     num_processes=NPROCS, process_id=PROC)
+
+import numpy as np                                            # noqa: E402
+from mpi4py_fft_tpu import PFFT, newDistArray, DistArray      # noqa: E402
+
+assert multihost.is_multihost()
+assert multihost.process_count() == NPROCS
+NDEV = len(jax.devices())
+assert NDEV == 4 * NPROCS, NDEV
+
+
+def check(cond, label):
+    assert cond, f"[proc {PROC}] FAILED: {label}"
+    print(f"[proc {PROC}] ok: {label}", flush=True)
+
+
+# ---- PFFT forward/backward round-trip over the multi-process mesh --------
+shape = (16, 16, 16)
+fft = PFFT(None, shape, dtype='d', grid=(NDEV // 2, 2))
+u = newDistArray(fft, False)
+rng = np.random.default_rng(0)          # same seed everywhere -> same X
+X = rng.random(shape)
+u[...] = X
+assert not u.v.is_fully_addressable     # really multi-process
+u_hat = fft.forward(u)
+ref = np.fft.rfftn(X) / np.prod(shape)
+check(np.allclose(np.asarray(u_hat), ref, rtol=0, atol=2e-10),
+      "PFFT forward matches numpy")
+uj = fft.backward(u_hat)
+check(np.allclose(np.asarray(uj), X, rtol=0, atol=2e-10),
+      "PFFT roundtrip")
+
+# ---- DistArray redistribute across processes ------------------------------
+a = DistArray((8, 12, 16), alignment=0, dtype='d')
+Y = rng.random((8, 12, 16))
+a[...] = Y
+b = a.redistribute(2)
+check(np.allclose(np.asarray(b), Y), "redistribute across processes")
+
+# ---- HDF5 write (per-process hyperslab turns) + reshard-on-load -----------
+h5 = os.path.join(TMP, "mp.h5")
+u.write(h5, name="u", step=0)
+multihost.sync_global_devices("after-write")
+v = newDistArray(fft, False)
+v.read(h5, name="u", step=0)
+check(np.allclose(np.asarray(v), X), "HDF5 write/read roundtrip")
+
+# read into a DIFFERENT decomposition (reader != writer, docs/io.rst:61-62)
+w = DistArray(shape, alignment=0, dtype='d')
+w.read(h5, name="u", step=0)
+check(np.allclose(np.asarray(w), X), "HDF5 reshard-on-load")
+
+multihost.sync_global_devices("done")
+print(f"[proc {PROC}] ALL OK", flush=True)

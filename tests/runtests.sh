@@ -25,5 +25,16 @@ for n in 2 4 8; do
 done
 run 8 tests/test_mpifft.py tests/test_io.py tests/test_pallas_fft.py
 
+# TRUE multi-process groups: 2 jax.distributed workers x 4 devices
+# (≙ reference mpiexec -n 2, runtests.sh:14-37)
+run 8 tests/test_multiproc.py
+
 # end-to-end DNS workload (≙ reference runtests.sh:36)
 run 8 tests/test_dns.py
+
+# examples must run clean (≙ reference runtests.sh examples run)
+echo "=== examples ==="
+XLA_FLAGS="--xla_force_host_platform_device_count=8" JAX_PLATFORMS=cpu \
+  python examples/transforms.py
+XLA_FLAGS="--xla_force_host_platform_device_count=8" JAX_PLATFORMS=cpu \
+  python examples/darray.py

@@ -127,6 +127,76 @@ def test_redistribute_values():
         assert np.allclose(np.asarray(a), X)
 
 
+def _assert_truly_distributed(a, X):
+    """Every device must hold EXACTLY its reference block of ``X``
+    (blockdist semantics, reference pencil.py:5-9) — uneven extents are
+    padded at rest, never silently replicated (VERDICT r1 missing #3)."""
+    from mpi4py_fft_tpu.parallel.pencil import blockdist
+    p = a.pencil
+    devlist = list(p.mesh.devices.flat)
+    rank = a.rank
+    for shard in a.v.addressable_shards:
+        d = devlist.index(shard.device)
+        # physical storage: the padded ceil-div block — per-axis extent
+        # must be the padded quotient, NOT the full (replicated) extent
+        got = np.asarray(shard.data)
+        for i, c in enumerate(p.subcomm):
+            q = -(-p.shape[i] // c.size)  # ceil
+            assert got.shape[rank + i] == q, \
+                (i, got.shape, q, "axis replicated instead of distributed")
+        # valid part == the reference block of the true global array
+        sl = [slice(None)] * rank
+        for i in range(len(p.shape)):
+            n, s = blockdist(p.shape[i], p.subcomm[i].size,
+                             p._axis_coord(i, d))
+            q = -(-p.shape[i] // p.subcomm[i].size)
+            sl.append(slice(0, n))
+        want = X[tuple([slice(None)] * rank) +
+                 tuple(a.local_slice(d)[rank:])]
+        assert np.array_equal(got[tuple(sl)], want)
+
+
+def test_uneven_extents_distributed():
+    """DistArray((12,13,14)) on 8 devices must actually distribute the
+    13-extent axis (the reference distributes any N over any p,
+    pencil.py:5-9); metadata (local_slice/local_shape) must agree with
+    the real storage."""
+    rng = np.random.default_rng(4)
+    for rank in (0, 1):
+        shape = (2,) * rank + (12, 13, 14)
+        a = DistArray(shape, alignment=0, dtype='d', rank=rank)
+        X = rng.random(shape)
+        a[...] = X
+        assert np.allclose(np.asarray(a), X)
+        _assert_truly_distributed(a, X)
+        # local_shape sums to the true extent along each distributed axis
+        p = a.pencil
+        for i, c in enumerate(p.subcomm):
+            if c.size > 1:
+                tot = 0
+                seen = set()
+                for d in range(len(list(p.mesh.devices.flat))):
+                    r = p._axis_coord(i, d)
+                    if r not in seen:
+                        seen.add(r)
+                        tot += p.local_shape(d)[i]
+                assert tot == p.shape[i]
+
+
+def test_uneven_redistribute_moves_data():
+    """Redistribution of an unevenly-extent array must land every block on
+    its new owner (content-checked per device)."""
+    rng = np.random.default_rng(5)
+    a = DistArray((12, 13, 14), alignment=0, dtype='d')
+    X = rng.random((12, 13, 14))
+    a[...] = X
+    for ax in (1, 2, 0):
+        a = a.redistribute(ax)
+        assert a.alignment == ax
+        assert np.allclose(np.asarray(a), X)
+        _assert_truly_distributed(a, X)
+
+
 def test_newDistArray():
     N = (8, 8, 8)
     pfft = PFFT(None, N)

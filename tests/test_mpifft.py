@@ -97,9 +97,10 @@ def test_mpifft_structural():
     # output pencil aligned with last transformed group's axis
     assert fft.pencil[1].axis == fft.axes[0][-1]
     # substart of aligned axes is 0 on every device
-    for d in range(len(fft.pencil[0].subcomm)):
-        pass
-    assert fft.pencil[0].substart[fft.pencil[0].axis] == 0
+    ndev_in = int(np.prod([c.Get_size() for c in fft.pencil[0].subcomm]))
+    for d in range(ndev_in):
+        assert fft.pencil[0].local_start(d)[fft.pencil[0].axis] == 0
+        assert fft.pencil[1].local_start(d)[fft.pencil[1].axis] == 0
     # shapes
     assert fft.global_shape(False) == shape
     out = fft.global_shape(True)
@@ -167,6 +168,61 @@ def test_mpifft_r2r():
     uj = r2r.backward(u_hat)
     assert np.allclose(np.asarray(uj), X, atol=1e-10)
     r2r.destroy()
+
+
+def _assert_complex_free(fft):
+    """Lower both pipeline directions and assert no complex-typed HLO
+    (the target TPU platform rejects complex HLO outright; the jax
+    backend therefore computes in planar form, complex only at the host
+    boundary — see parallel/mpifft.py Transform)."""
+    import jax
+    for tr in (fft.forward, fft.backward):
+        rdtype = np.zeros(0, dtype=tr._in_dtype).real.dtype
+        shape = ((2,) + tr._in_shape) if tr._planars[0] else tr._in_shape
+        x = jax.ShapeDtypeStruct(shape, rdtype)
+        txt = jax.jit(lambda v, tr=tr: tr.fn_p(v)).lower(x).as_text()
+        assert 'complex<' not in txt, "complex HLO leaked into the pipeline"
+
+
+def test_mpifft_complex_free_hlo():
+    """Every API feature of PFFT(backend='jax') — c2c, r2c, grids,
+    collapse groups, padding, custom r2r transforms — must lower to
+    complex-free HLO so the one orchestrator runs on the target chip
+    (role of the reference's single FFTW executor, mpifft.py:202-347)."""
+    dctn = functools.partial(fftw.dctn, type=3)
+    idctn = functools.partial(fftw.idctn, type=3)
+    configs = [
+        dict(shape=(12, 13, 15), dtype='D'),                     # c2c
+        dict(shape=(16, 18, 16), dtype='d', grid=(2, 2)),        # r2c pencil
+        dict(shape=(12, 13, 12, 13), dtype='d', grid=(2, 4),
+             collapse=True),                                     # collapse
+        dict(shape=(16, 16, 16), dtype='f', padding=[1.5] * 3),  # dealias
+        dict(shape=(9, 10, 11, 12, 13), dtype='d', grid=(-1,),
+             axes=((0,), (1, 2), (3, 4)),
+             transforms={(1, 2): (dctn, idctn),
+                         (3, 4): (dctn, idctn)}),                # r2r dict
+    ]
+    for cfg in configs:
+        shape = cfg.pop('shape')
+        fft = PFFT(None, shape, **cfg)
+        _assert_complex_free(fft)
+        fft.destroy()
+
+
+def test_mpifft_fn_p_matches_call():
+    """The pure pipeline-form path produces the same numbers as the
+    buffer-style call (planar carrying the logical complex data)."""
+    import jax
+    shape = (12, 14, 16)
+    fft = PFFT(None, shape, dtype='d')
+    rng = np.random.default_rng(3)
+    u = rng.random(shape)
+    u_hat = np.asarray(fft.forward(u))
+    p_hat = np.asarray(jax.jit(fft.forward.fn_p)(u))
+    assert allclose(p_hat[0] + 1j * p_hat[1], u_hat)
+    # backward from planar form
+    back = np.asarray(jax.jit(fft.backward.fn_p)(p_hat))
+    assert allclose(back, u)
 
 
 def test_mpifft_normalize_kw():

@@ -178,11 +178,16 @@ def test_shardmap_dealiasing():
     shape = (16, 16, 16)
     pfft = PlanarPFFT(None, shape, dtype='F', grid=(4, 2), padding=1.5,
                       executor='shard_map')
-    z = (rng.standard_normal(shape)
-         + 1j * rng.standard_normal(shape)).astype(np.complex64)
-    p = jnp.asarray(np.stack([z.real, z.imag]))
-    yh = pfft.forward(p, normalize=True)
+    # physical space is PADDED (24^3); spectral space is truncated (16^3).
+    # Start from random spectral coefficients, like the reference
+    # (test_libfft.py:64-98 — padded physical space cannot be initialized
+    # directly), and check the fwd∘bwd fixed point in spectral space.
+    spec = pfft.global_shape(True)
+    yh = jnp.asarray(rng.standard_normal(spec).astype(np.float32))
     u = pfft.backward(yh, normalize=False)
+    assert u.shape == pfft.global_shape(False)       # padded 24^3
     yh2 = pfft.forward(u, normalize=True)
-    a, b = np.asarray(yh), np.asarray(yh2)
+    u2 = pfft.backward(yh2, normalize=False)
+    yh3 = pfft.forward(u2, normalize=True)
+    a, b = np.asarray(yh2), np.asarray(yh3)
     assert np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-30) < 1e-5
