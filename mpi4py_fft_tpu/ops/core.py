@@ -186,6 +186,136 @@ def _hc2r_1d(x, axis):
     return matfft.irfftn_p(P, (axis,), N)
 
 
+# ---------------------------------------------------------------------------
+# FFT-backed DCT-II/III and DST-II/III (Makhoul's N-point real-FFT method)
+# — rides the planar engine (and therefore the Pallas butterfly kernels on
+# chip) in O(N log N) instead of the dense O(N^2) basis contraction.
+# Unnormalized FFTW conventions, validated vs scipy in tests/test_fftw.py.
+# ---------------------------------------------------------------------------
+
+# r2r engine: 'dense' = MXU basis matmul; 'fft' = Makhoul real-FFT method;
+# 'auto' = fft for the kinds/shapes it supports, dense otherwise.
+_R2R_IMPL = _os.environ.get('MPI4PY_FFT_TPU_R2R', 'auto')
+
+
+def set_r2r_impl(impl):
+    global _R2R_IMPL
+    assert impl in ('auto', 'fft', 'dense')
+    _R2R_IMPL = impl
+
+
+_FFT_R2R_KINDS = (FFTW_REDFT10, FFTW_REDFT01, FFTW_RODFT10, FFTW_RODFT01)
+
+
+def _use_fft_r2r(N, kind):
+    if _R2R_IMPL == 'dense' or kind not in _FFT_R2R_KINDS:
+        return False
+    if _R2R_IMPL == 'fft':
+        return True
+    return N >= 16 and N % 2 == 0      # auto: even lengths, big enough
+
+
+def _take(x, idx, axis):
+    return jnp.take(x, jnp.asarray(idx), axis=axis)
+
+
+@functools.lru_cache(maxsize=None)
+def _makhoul_consts(N, dtype_str):
+    """cos/sin(pi*k/(2N)) rows for k = 0..N-1 (f64-built)."""
+    th = np.pi * np.arange(N) / (2.0 * N)
+    return (np.cos(th).astype(dtype_str), np.sin(th).astype(dtype_str))
+
+
+def _rowshape(vec, ndim, axis):
+    sh = [1] * ndim
+    sh[axis] = len(vec)
+    return jnp.asarray(vec).reshape(sh)
+
+
+def _dct2_fft(x, axis):
+    """REDFT10: X[k] = 2 sum x[n] cos(pi (n+1/2) k / N)  (Makhoul 1980).
+
+    v = [x[0], x[2], ..., x[N-1], ..., x[3], x[1]];  V = rfft(v);
+    X[k] = 2 Re(e^{-i pi k/2N} V[k]), Hermitian-extended past N/2.
+    """
+    from . import matfft
+    N = x.shape[axis]
+    idx = np.concatenate([np.arange(0, N, 2), np.arange(N - 1, 0, -2)])
+    v = _take(x, idx, axis)
+    P = matfft.rfftn_p(v, (axis,))             # (2, ..., N//2+1)
+    # full-length spectrum by Hermitian reflection V[k>N/2] = conj(V[N-k])
+    k = np.arange(N)
+    refl = np.where(k <= N // 2, k, N - k)
+    sgn = np.where(k <= N // 2, 1.0, -1.0).astype(x.dtype)
+    Vr = _take(P[0], refl, axis)
+    Vi = _take(P[1], refl, axis) * _rowshape(sgn, x.ndim, axis)
+    c, s = _makhoul_consts(N, np.dtype(x.dtype).name)
+    return 2.0 * (Vr * _rowshape(c, x.ndim, axis)
+                  + Vi * _rowshape(s, x.ndim, axis))
+
+
+def _dct3_fft(y, axis):
+    """REDFT01 (unnormalized DCT-III, the transpose of REDFT10):
+    X[n] = y[0] + 2 sum_{k>=1} y[k] cos(pi k (n+1/2) / N).
+
+    Inverse Makhoul: V[k] = e^{+i pi k/2N} (y[k] - i y[N-k]) / 2
+    (y[N]:=0) for k = 0..N/2 is the rfft of the even/odd-reordered
+    2N-rule sequence v; REDFT01(y) = 2N * reorder^{-1}(IDFT(V)).  The
+    planar c2r is FFTW-unnormalized (returns N*IDFT), so the factors
+    cancel: REDFT01(y) = reorder^{-1}(c2r((y[k] - i y[N-k]) e^{+i pi
+    k/2N})).  Verified vs scipy dct type 3 in tests/test_fftw.py.
+    """
+    from . import matfft
+    N = y.shape[axis]
+    nh = N // 2 + 1
+    k = np.arange(nh)
+    ydt = np.dtype(y.dtype).name
+    c, s = _makhoul_consts(N, ydt)
+    c, s = c[:nh], s[:nh]
+    yk = _take(y, k, axis)
+    # y[N-k] with y[N] := 0
+    back = (N - k) % N
+    ynk = _take(y, back, axis)
+    mask = np.ones(nh, dtype=ydt)
+    mask[0] = 0.0
+    ynk = ynk * _rowshape(mask, y.ndim, axis)
+    # V = (yk - i*ynk) * (c + i s) = (yk*c + ynk*s) + i(yk*s - ynk*c)
+    Wr = yk * _rowshape(c, y.ndim, axis) + ynk * _rowshape(s, y.ndim, axis)
+    Wi = yk * _rowshape(s, y.ndim, axis) - ynk * _rowshape(c, y.ndim, axis)
+    P = jnp.stack([Wr, Wi])
+    v = matfft.irfftn_p(P, (axis,), N)          # unnormalized c2r
+    # undo reorder: x[2n] = v[n], x[2n+1] = v[N-1-n]
+    idx = np.concatenate([np.arange(0, N, 2), np.arange(N - 1, 0, -2)])
+    inv = np.argsort(idx)
+    return _take(v, inv, axis)
+
+
+def _alt_signs(N, dtype_str):
+    return ((-1.0) ** np.arange(N)).astype(dtype_str)
+
+
+def _dst2_fft(x, axis):
+    """RODFT10 via REDFT10: DST-II(x)[k] = DCT-II(u)[N-1-k] with
+    u[n] = (-1)^n x[n] (standard index-reversal identity)."""
+    N = x.shape[axis]
+    u = x * _rowshape(_alt_signs(N, np.dtype(x.dtype).name), x.ndim, axis)
+    X = _dct2_fft(u, axis)
+    return _take(X, np.arange(N - 1, -1, -1), axis)
+
+
+def _dst3_fft(y, axis):
+    """RODFT01 via REDFT01 (transpose of the DST-II identity):
+    DST-III(y)[n] = (-1)^n DCT-III(y[N-1-k])[n]."""
+    N = y.shape[axis]
+    yr = _take(y, np.arange(N - 1, -1, -1), axis)
+    X = _dct3_fft(yr, axis)
+    return X * _rowshape(_alt_signs(N, np.dtype(y.dtype).name), y.ndim, axis)
+
+
+_FFT_R2R_FN = {FFTW_REDFT10: _dct2_fft, FFTW_REDFT01: _dct3_fft,
+               FFTW_RODFT10: _dst2_fft, FFTW_RODFT01: _dst3_fft}
+
+
 def r2r(x, axes, kinds):
     """Separable real-to-real transform: ``kinds[i]`` applied along
     ``axes[i]`` (reference semantics: fftw/fftw_planxfftn.c:57-76 r2r path,
@@ -197,6 +327,8 @@ def r2r(x, axes, kinds):
             x = _r2hc_1d(x, axis)
         elif kind == FFTW_HC2R:
             x = _hc2r_1d(x, axis)
+        elif _use_fft_r2r(x.shape[axis], kind):
+            x = _FFT_R2R_FN[kind](x, axis)
         else:
             B = _r2r_basis(x.shape[axis], kind, dtype_str)
             x = _apply_basis(x, jnp.asarray(B), axis)

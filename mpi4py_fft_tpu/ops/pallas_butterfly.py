@@ -99,6 +99,28 @@ def _stage_plan(N):
 
 
 @functools.lru_cache(maxsize=None)
+def _tw_len(N):
+    """Row count of _tw_pack(N, ...)."""
+    t, L = 0, N
+    for r in _stage_plan(N):
+        t += (r - 1) * (L // r)
+        L //= r
+    return t
+
+
+@functools.lru_cache(maxsize=None)
+def _tw_pack_packed(N, sign, dtype_str):
+    """Twiddles for the PACKED r2c/c2r kernels: the N/2-point stage pack
+    with (cos, sin)(2*pi*k/N), k = 0..N/2, appended as unpack rows."""
+    N2 = N // 2
+    base = _tw_pack(N2, sign, dtype_str)         # (2, T2)
+    k = np.arange(N2 + 1)
+    ang = 2.0 * np.pi * k / N
+    extra = np.stack([np.cos(ang), np.sin(ang)]).astype(dtype_str)
+    return np.concatenate([base, extra], axis=1)
+
+
+@functools.lru_cache(maxsize=None)
 def _tw_pack(N, sign, dtype_str):
     """All stage twiddles, page-broadcast: (2, T, 8, 128).
 
@@ -556,8 +578,17 @@ def fft_plane_p(p, forward=True, interpret=None, scale=None):
 # probed in scripts/tpu_plane_test.py lineage).
 # Reference semantics: fftw r2c/c2r guru plans (fftw_planxfftn.c:41-66).
 
-def _r2c_rows(xr, tw_ref, N, nh, hext, scale):
-    """Real rows (N, 8, 128) -> half-spectrum planar rows (2, hext, ...)."""
+def _rev_pages(x, n):
+    """Leading-axis reversal of ``n`` rows by static page concatenation
+    (Mosaic has no `rev`/strided-slice lowering on this toolchain; probed
+    legal + bit-correct in scripts/tpu_probe_moves.py)."""
+    return jnp.concatenate([x[i:i + 1] for i in range(n - 1, -1, -1)],
+                           axis=0)
+
+
+def _r2c_rows_full(xr, tw_ref, N, nh, hext, scale):
+    """Real rows (N, 8, 128) -> half-spectrum planar rows (2, hext, ...)
+    via a FULL N-point c2c with zero imaginary part (fallback path)."""
     r, i = _butterfly(xr, jnp.zeros_like(xr), tw_ref, N, -1, scale)
     r, i = r[:nh], i[:nh]
     if hext > nh:
@@ -567,24 +598,69 @@ def _r2c_rows(xr, tw_ref, N, nh, hext, scale):
     return r, i
 
 
-def _kern_mid_r2c(x_ref, tw_ref, o_ref, *, N, nh, hext, scale):
+def _r2c_rows(xr, tw_ref, N, nh, hext, scale, packed=True):
+    """Real rows (N, 8, 128) -> half-spectrum planar rows (2, hext, ...)
+    by the PACKED N/2-point method: z[m] = x[2m] + i x[2m+1] is one
+    N/2-point c2c (half the butterfly stages and state traffic of the
+    full-c2c-with-zero-imag fallback), unpacked in-VMEM with
+        E[k] = (Z[k] + conj(Z[-k]))/2,  O[k] = -i/2 (Z[k] - conj(Z[-k])),
+        X[k] = E[k] + w_N^k O[k],  k = 0..N/2
+    (FFTW's r2c guru path does the same packing,
+    reference: fftw/fftw_planxfftn.c:50-56).
+
+    tw_ref layout: [.., :T2] = N/2-point stage twiddles, [.., T2:T2+nh] =
+    (cos, sin)(2 pi k / N) unpack rows (see _tw_pack_packed)."""
+    N2 = N // 2
+    if not packed or N2 < 2:
+        return _r2c_rows_full(xr, tw_ref, N, nh, hext, scale)
+    pair = xr.reshape((N2, 2) + xr.shape[1:])
+    zr, zi = pair[:, 0], pair[:, 1]              # even / odd rows
+    Zr, Zi = _butterfly(zr, zi, tw_ref, N2, -1, None)
+    # Z at k = 0..N2 (Z[N2] = Z[0]) and its index-reversal Z[(N2-k)%N2]
+    Zr_e = jnp.concatenate([Zr, Zr[:1]], axis=0)
+    Zi_e = jnp.concatenate([Zi, Zi[:1]], axis=0)
+    Zr_r = jnp.concatenate([Zr[:1], _rev_pages(Zr[1:], N2 - 1), Zr[:1]],
+                           axis=0)
+    Zi_r = jnp.concatenate([Zi[:1], _rev_pages(Zi[1:], N2 - 1), Zi[:1]],
+                           axis=0)
+    Er = 0.5 * (Zr_e + Zr_r)
+    Ei = 0.5 * (Zi_e - Zi_r)
+    Or = 0.5 * (Zi_e + Zi_r)
+    Oi = 0.5 * (Zr_r - Zr_e)
+    T2 = _tw_len(N2)
+    cw = tw_ref[0, T2:T2 + nh]                    # cos(2 pi k / N) pages
+    sw = tw_ref[1, T2:T2 + nh]                    # sin(2 pi k / N) pages
+    # X = E + w^k O, w^k = cw - i sw
+    r = Er + cw * Or + sw * Oi
+    i = Ei + cw * Oi - sw * Or
+    if scale is not None:
+        r = r * scale
+        i = i * scale
+    if hext > nh:
+        z = jnp.zeros((hext - nh,) + r.shape[1:], r.dtype)
+        r = jnp.concatenate([r, z], axis=0)
+        i = jnp.concatenate([i, z], axis=0)
+    return r, i
+
+
+def _kern_mid_r2c(x_ref, tw_ref, o_ref, *, N, nh, hext, scale, packed):
     xr = jnp.transpose(x_ref[0], (1, 0, 2))       # (N, 8, 128)
-    r, i = _r2c_rows(xr, tw_ref, N, nh, hext, scale)
+    r, i = _r2c_rows(xr, tw_ref, N, nh, hext, scale, packed)
     o_ref[0] = jnp.transpose(r, (1, 0, 2))
     o_ref[1] = jnp.transpose(i, (1, 0, 2))
 
 
-def _kern_lead_r2c(x_ref, tw_ref, o_ref, *, N, nh, hext, scale):
-    r, i = _r2c_rows(x_ref[0], tw_ref, N, nh, hext, scale)
+def _kern_lead_r2c(x_ref, tw_ref, o_ref, *, N, nh, hext, scale, packed):
+    r, i = _r2c_rows(x_ref[0], tw_ref, N, nh, hext, scale, packed)
     o_ref[0] = r
     o_ref[1] = i
 
 
-def _kern_last_r2c(x_ref, tw_ref, o_ref, *, N, nh, hext, scale):
+def _kern_last_r2c(x_ref, tw_ref, o_ref, *, N, nh, hext, scale, packed):
     R = x_ref.shape[1]
     x = jnp.swapaxes(x_ref[0], 0, 1)              # (N, R)
     xr = x.reshape(N, R // _LANE, _LANE)
-    r, i = _r2c_rows(xr, tw_ref, N, nh, hext, scale)
+    r, i = _r2c_rows(xr, tw_ref, N, nh, hext, scale, packed)
     o_ref[0] = jnp.swapaxes(r.reshape(hext, R), 0, 1)
     o_ref[1] = jnp.swapaxes(i.reshape(hext, R), 0, 1)
 
@@ -599,39 +675,99 @@ def _c2r_rows(hr, hi, tr, ti, tw_ref, N, scale):
     return r
 
 
-def _kern_mid_c2r(x_ref, t_ref, tw_ref, o_ref, *, N, nh, nt, scale):
+def _c2r_rows_packed(hr, hi, tw_ref, N, scale):
+    """Half-spectrum rows (>= N/2+1, ...) -> real rows (N, ...) by the
+    PACKED N/2-point inverse: repack the Hermitian spectrum into
+        Z[k] = E[k] + i O[k],  E = (X[k]+conj(X[-k]))/2,
+        O = conj(w_N^k) (X[k]-conj(X[-k]))/2,   k = 0..N/2-1,
+    one N/2-point inverse butterfly, interleave Re/Im as even/odd output
+    rows (x2: unnormalized FFTW c2r returns N*x, the packed inverse N/2).
+    No conj-reversed tail input needed — the reversal is in-VMEM pages."""
+    N2 = N // 2
+    nh = N2 + 1
+    Xr, Xi = hr[:nh], hi[:nh]
+    # conj(X[N2-k]) rows for k = 0..N2-1: reverse rows 1..N2
+    Xr_rev = _rev_pages(Xr[1:nh], N2)
+    Xi_rev = _rev_pages(Xi[1:nh], N2)
+    Xr_h, Xi_h = Xr[:N2], Xi[:N2]
+    Er = 0.5 * (Xr_h + Xr_rev)
+    Ei = 0.5 * (Xi_h + Xi_rev * -1.0)
+    Dr = Xr_h - Xr_rev
+    Di = Xi_h + Xi_rev
+    T2 = _tw_len(N2)
+    cw = tw_ref[0, T2:T2 + N2]
+    sw = tw_ref[1, T2:T2 + N2]
+    ORe = 0.5 * (cw * Dr - sw * Di)
+    OIm = 0.5 * (cw * Di + sw * Dr)
+    Zr = Er - OIm
+    Zi = Ei + ORe
+    sc = 2.0 if scale is None else 2.0 * scale
+    zr, zi = _butterfly(Zr, Zi, tw_ref, N2, +1, sc)
+    # interleave: out[2m] = zr[m], out[2m+1] = zi[m] (pair-merge reshape,
+    # probed legal in scripts/tpu_probe_moves.py lineage)
+    out = jnp.stack([zr, zi], axis=1)
+    return out.reshape((N,) + zr.shape[1:])
+
+
+def _kern_mid_c2r(x_ref, t_ref, tw_ref, o_ref, *, N, nh, nt, scale,
+                  packed):
     hr = jnp.transpose(x_ref[0], (1, 0, 2))[:nh]  # (nh, 8, 128)
     hi = jnp.transpose(x_ref[1], (1, 0, 2))[:nh]
-    tr = jnp.transpose(t_ref[0], (1, 0, 2)) if nt else None
-    ti = jnp.transpose(t_ref[1], (1, 0, 2)) if nt else None
-    r = _c2r_rows(hr, hi, tr, ti, tw_ref, N, scale)
+    if packed:
+        r = _c2r_rows_packed(hr, hi, tw_ref, N, scale)
+    else:
+        tr = jnp.transpose(t_ref[0], (1, 0, 2)) if nt else None
+        ti = jnp.transpose(t_ref[1], (1, 0, 2)) if nt else None
+        r = _c2r_rows(hr, hi, tr, ti, tw_ref, N, scale)
     o_ref[0] = jnp.transpose(r, (1, 0, 2))
 
 
-def _kern_lead_c2r(x_ref, t_ref, tw_ref, o_ref, *, N, nh, nt, scale):
-    tr = t_ref[0] if nt else None
-    ti = t_ref[1] if nt else None
-    r = _c2r_rows(x_ref[0][:nh], x_ref[1][:nh], tr, ti, tw_ref, N, scale)
+def _kern_lead_c2r(x_ref, t_ref, tw_ref, o_ref, *, N, nh, nt, scale,
+                   packed):
+    if packed:
+        r = _c2r_rows_packed(x_ref[0][:nh], x_ref[1][:nh], tw_ref, N,
+                             scale)
+    else:
+        tr = t_ref[0] if nt else None
+        ti = t_ref[1] if nt else None
+        r = _c2r_rows(x_ref[0][:nh], x_ref[1][:nh], tr, ti, tw_ref, N,
+                      scale)
     o_ref[0] = r
 
 
-def _kern_last_c2r(x_ref, t_ref, tw_ref, o_ref, *, N, nh, nt, scale):
+def _kern_last_c2r(x_ref, t_ref, tw_ref, o_ref, *, N, nh, nt, scale,
+                   packed):
     R = x_ref.shape[1]
     Hin = x_ref.shape[2]
     hs, ts = [], [None, None]
     for p in range(2):
         h = jnp.swapaxes(x_ref[p], 0, 1)          # (Hin, R)
         hs.append(h.reshape(Hin, R // _LANE, _LANE)[:nh])
-        if nt:
+        if nt and not packed:
             t = jnp.swapaxes(t_ref[p], 0, 1)      # (nt, R)
             ts[p] = t.reshape(nt, R // _LANE, _LANE)
-    r = _c2r_rows(hs[0], hs[1], ts[0], ts[1], tw_ref, N, scale)
+    if packed:
+        r = _c2r_rows_packed(hs[0], hs[1], tw_ref, N, scale)
+    else:
+        r = _c2r_rows(hs[0], hs[1], ts[0], ts[1], tw_ref, N, scale)
     o_ref[0] = jnp.swapaxes(r.reshape(N, R), 0, 1)
 
 
+# packed N/2-point r2c/c2r kernels: 'on' (default) halves the butterfly
+# work per real transform; 'off' = the full-c2c fallback (A/B'd on chip)
+_PACKED_MODE = _os.environ.get('MPI4PY_FFT_TPU_PACKED_R2C', 'on')
+
+
+def set_packed_mode(mode):
+    global _PACKED_MODE
+    assert mode in ('on', 'off')
+    _PACKED_MODE = mode
+
+
 @functools.partial(jax.jit,
-                   static_argnames=('axis', 'hext', 'interpret', 'scale'))
-def _dispatch_r2c(x, axis, hext, interpret, scale):
+                   static_argnames=('axis', 'hext', 'interpret', 'scale',
+                                    'packed'))
+def _dispatch_r2c(x, axis, hext, interpret, scale, packed):
     shape = x.shape
     nd = len(shape)
     N = shape[axis]
@@ -640,13 +776,16 @@ def _dispatch_r2c(x, axis, hext, interpret, scale):
     pre = int(np.prod(shape[:axis], dtype=np.int64)) if axis else 1
     post = int(np.prod(shape[axis + 1:], dtype=np.int64)) \
         if axis < nd - 1 else 1
-    tw_small = jnp.asarray(_tw_pack(N, -1, dtype_str))
+    packed = packed and N // 2 >= 2
+    pack = _tw_pack_packed(N, -1, dtype_str) if packed \
+        else _tw_pack(N, -1, dtype_str)
+    tw_small = jnp.asarray(pack)
     tw = jnp.broadcast_to(tw_small[:, :, None, None],
                           (2, tw_small.shape[1], _SUB, _LANE))
     tw_spec = _bspec((2, tw_small.shape[1], _SUB, _LANE),
                            lambda *g: (0, 0, 0, 0),
                            memory_space=pltpu.VMEM)
-    kw = dict(N=N, nh=nh, hext=hext, scale=scale)
+    kw = dict(N=N, nh=nh, hext=hext, scale=scale, packed=packed)
     if post == 1:
         xg = x.reshape(1, pre, N)
         R = _SUB * _LANE
@@ -699,7 +838,8 @@ def rfft_axis_p(x, axis, hext=None, scale=None, interpret=None):
     Output extent is ``hext`` (>= N//2+1; default N//2+1) with exact zero
     rows beyond N//2+1 — the pencil pipeline's shardable-extent padding
     comes out of the kernel for free.  Requires ``supported_axis`` on the
-    real input shape.
+    real input shape.  Uses the packed N/2-point kernel unless
+    MPI4PY_FFT_TPU_PACKED_R2C=off.
     """
     nd = x.ndim
     axis = axis % nd
@@ -711,23 +851,28 @@ def rfft_axis_p(x, axis, hext=None, scale=None, interpret=None):
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
     return _dispatch_r2c(x, axis, int(hext), interpret,
-                         None if scale is None else float(scale))
+                         None if scale is None else float(scale),
+                         _PACKED_MODE == 'on')
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('axis', 'n', 'interpret', 'scale'))
-def _dispatch_c2r(p, axis, n, interpret, scale):
+                   static_argnames=('axis', 'n', 'interpret', 'scale',
+                                    'packed'))
+def _dispatch_c2r(p, axis, n, interpret, scale, packed):
     shape = p.shape[1:]
     nd = len(shape)
     N = n
     nh = N // 2 + 1
-    nt = N - nh                       # conj-reversed tail rows
+    packed = packed and N // 2 >= 2
+    nt = 0 if packed else N - nh      # conj-reversed tail rows
     Hin = shape[axis]
     dtype_str = np.dtype(p.dtype).name
     pre = int(np.prod(shape[:axis], dtype=np.int64)) if axis else 1
     post = int(np.prod(shape[axis + 1:], dtype=np.int64)) \
         if axis < nd - 1 else 1
-    tw_small = jnp.asarray(_tw_pack(N, +1, dtype_str))
+    pack = _tw_pack_packed(N, +1, dtype_str) if packed \
+        else _tw_pack(N, +1, dtype_str)
+    tw_small = jnp.asarray(pack)
     tw = jnp.broadcast_to(tw_small[:, :, None, None],
                           (2, tw_small.shape[1], _SUB, _LANE))
     tw_spec = _bspec((2, tw_small.shape[1], _SUB, _LANE),
@@ -735,17 +880,18 @@ def _dispatch_c2r(p, axis, n, interpret, scale):
                            memory_space=pltpu.VMEM)
     # conj-reversed Hermitian tail, built by XLA (no in-kernel rev):
     # tail[j] = conj(X[(N+1)//2 - 1 - j]) over source rows 1..(N+1)//2
+    # (fallback path only — the packed kernel reverses pages in-VMEM)
     ax1 = 1 + axis
     if nt:
         sl = [slice(None)] * p.ndim
         sl[ax1] = slice(1, (N + 1) // 2)
         t = jnp.flip(p[tuple(sl)], axis=ax1)
         t = jnp.concatenate([t[:1], -t[1:]], axis=0)  # conj
-    else:                      # N == 2: dummy 1-row tail, never read
+    else:              # packed / N == 2: dummy 1-row tail, never read
         zshape = list(p.shape)
         zshape[ax1] = 1
         t = jnp.zeros(zshape, p.dtype)
-    kw = dict(N=N, nh=nh, nt=nt, scale=scale)
+    kw = dict(N=N, nh=nh, nt=nt, scale=scale, packed=packed)
     out_shape = shape[:axis] + (N,) + shape[axis + 1:]
     if post == 1:
         xg = p.reshape(2, pre, Hin)
@@ -837,10 +983,13 @@ def supported_c2r(shape, axis, n, dtype):
 def irfft_axis_p(p, axis, n, scale=None, interpret=None):
     """Planar Hermitian half-spectrum -> real array of length ``n`` along
     ``axis``.  Input rows beyond n//2+1 (shardable-extent padding) are
-    ignored.  Unscaled inverse unless ``scale`` is given (in-VMEM)."""
+    ignored.  Unscaled inverse unless ``scale`` is given (in-VMEM).
+    Uses the packed N/2-point kernel unless MPI4PY_FFT_TPU_PACKED_R2C=off.
+    """
     nd = p.ndim - 1
     axis = axis % nd
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
     return _dispatch_c2r(p, axis, int(n), interpret,
-                         None if scale is None else float(scale))
+                         None if scale is None else float(scale),
+                         _PACKED_MODE == 'on')

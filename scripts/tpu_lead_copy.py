@@ -14,6 +14,37 @@ os.environ.setdefault('MPI4PY_FFT_TPU_PALLAS', 'off')
 import numpy as np
 
 
+def _make_bench(jax, p, reps):
+    """Shared timing helper: compile once, subtract the sync/device_get
+    overhead, average over reps (keeps main() and main2() comparable)."""
+    def sync(v):
+        return np.asarray(jax.device_get(v.ravel()[:1]))[0]
+
+    def bench(tag, fn):
+        j = jax.jit(fn)
+        t0 = time.perf_counter()
+        try:
+            y = j(p)
+            sync(y)
+        except Exception as e:
+            print(f"{tag:34s} FAILED: {type(e).__name__}: {str(e)[:140]}",
+                  flush=True)
+            return None
+        tc = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sync(y)
+        ts = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            y = j(p)
+        sync(y)
+        dt = max(time.perf_counter() - t0 - ts, 1e-9) / reps
+        print(f"{tag:34s} {dt * 1e3:8.3f} ms  (compile {tc:.0f}s)",
+              flush=True)
+        return dt
+    return bench
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -32,25 +63,7 @@ def main():
     def sync(v):
         return np.asarray(jax.device_get(v.ravel()[:1]))[0]
 
-    def bench(tag, fn):
-        j = jax.jit(fn)
-        t0 = time.perf_counter()
-        try:
-            y = j(p)
-            sync(y)
-        except Exception as e:
-            print(f"{tag:34s} FAILED: {type(e).__name__}: {str(e)[:140]}",
-                  flush=True)
-            return None
-        tc = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            y = j(p)
-        sync(y)
-        dt = max(time.perf_counter() - t0, 1e-9) / reps
-        print(f"{tag:34s} {dt * 1e3:8.3f} ms  (compile {tc:.0f}s)",
-              flush=True)
-        return dt
+    bench = _make_bench(jax, p, reps)
 
     N = n
     SUB, LANE = 8, 128
@@ -146,10 +159,6 @@ def main():
     bench('bfly lead 5-D contiguous', lead_bfly_5d)
 
 
-if __name__ == '__main__':
-    main()
-
-
 def main2():
     """Q-sweep: lead-axis butterfly with wider per-n contiguous chunks."""
     import jax
@@ -167,38 +176,10 @@ def main2():
     p = jnp.asarray(rng.standard_normal((2, n, n, n)).astype(np.float32))
     N = n
     LANE = 128
-
-    def sync(v):
-        return np.asarray(jax.device_get(v.ravel()[:1]))[0]
-
-    def bench(tag, fn):
-        j = jax.jit(fn)
-        t0 = time.perf_counter()
-        try:
-            y = j(p)
-            sync(y)
-        except Exception as e:
-            print(f"{tag:34s} FAILED: {type(e).__name__}: {str(e)[:140]}",
-                  flush=True)
-            return None
-        tc = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        sync(y)
-        ts = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            y = j(p)
-        sync(y)
-        dt = max(time.perf_counter() - t0 - ts, 1e-9) / reps
-        print(f"{tag:34s} {dt * 1e3:8.3f} ms  (compile {tc:.0f}s)",
-              flush=True)
-        return dt
+    bench = _make_bench(jax, p, reps)
 
     tw_small = jnp.asarray(pb._tw_pack(N, -1, 'float32'))
     T = tw_small.shape[1]
-    tw = jnp.broadcast_to(tw_small[:, :, None, None], (2, T, 8, LANE))
-    tw_spec = pb._bspec((2, T, 8, LANE), lambda *g: (0, 0, 0, 0),
-                        memory_space=pltpu.VMEM)
 
     def make_leadQ(Q, vmem_mb):
         S = Q // LANE
@@ -233,5 +214,5 @@ def main2():
         bench(f'bfly lead Q={Q}', make_leadQ(Q, mb))
 
 
-if __name__ == '__main__' and os.environ.get('LEAD_Q') == '1':
-    main2()
+if __name__ == '__main__':
+    main2() if os.environ.get('LEAD_Q') == '1' else main()

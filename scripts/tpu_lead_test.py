@@ -48,12 +48,13 @@ def main():
         tc = time.perf_counter() - t0
         relmsg = ""
         if check:
+            prev_mode = matfft._BFLY_MODE
             matfft.set_butterfly_mode('off')
             try:
                 ref = np.asarray(jax.device_get(
                     jax.jit(lambda q: matfft.fft1d_p(q, 0, True))(q0)))
             finally:
-                matfft.set_butterfly_mode('auto')
+                matfft.set_butterfly_mode(prev_mode)
             got = np.asarray(jax.device_get(y))
             rel = np.linalg.norm(got - ref) / max(np.linalg.norm(ref), 1e-30)
             relmsg = f" rel={rel:.2e}"

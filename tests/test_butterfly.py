@@ -152,23 +152,34 @@ def test_four_step_gates():
     ((256, 8, 128), 0, None),
     ((8, 256, 128), 1, 130),
 ])
-def test_r2c_c2r_kernels(shape, axis, hext):
+@pytest.mark.parametrize('packed', ['on', 'off'])
+def test_r2c_c2r_kernels(shape, axis, hext, packed):
     """Real-side kernels: r2c writes only the (optionally padded)
-    Hermitian half; c2r ignores pad rows and writes only the real part."""
-    rng = np.random.default_rng(33)
-    x = rng.standard_normal(shape).astype(np.float32)
-    y = pb.rfft_axis_p(jnp.asarray(x), axis, hext=hext, interpret=True)
-    got = np.asarray(y[0]) + 1j * np.asarray(y[1])
-    ref = np.fft.rfft(x, axis=axis)
-    nh = ref.shape[axis]
-    head = np.take(got, range(nh), axis=axis)
-    assert np.linalg.norm(head - ref) / np.linalg.norm(ref) < 5e-6
-    if got.shape[axis] > nh:
-        tail = np.take(got, range(nh, got.shape[axis]), axis=axis)
-        assert float(np.abs(tail).max()) == 0.0
-    xr = pb.irfft_axis_p(y, axis, shape[axis], scale=1.0 / shape[axis],
-                         interpret=True)
-    assert np.linalg.norm(np.asarray(xr) - x) / np.linalg.norm(x) < 5e-6
+    Hermitian half; c2r ignores pad rows and writes only the real part.
+    Both the packed N/2-point kernels (default) and the full-c2c
+    fallback must agree with numpy (FFTW r2c guru-path parity,
+    reference: fftw/fftw_planxfftn.c:50-56)."""
+    prev = pb._PACKED_MODE
+    pb.set_packed_mode(packed)
+    try:
+        rng = np.random.default_rng(33)
+        x = rng.standard_normal(shape).astype(np.float32)
+        y = pb.rfft_axis_p(jnp.asarray(x), axis, hext=hext,
+                           interpret=True)
+        got = np.asarray(y[0]) + 1j * np.asarray(y[1])
+        ref = np.fft.rfft(x, axis=axis)
+        nh = ref.shape[axis]
+        head = np.take(got, range(nh), axis=axis)
+        assert np.linalg.norm(head - ref) / np.linalg.norm(ref) < 5e-6
+        if got.shape[axis] > nh:
+            tail = np.take(got, range(nh, got.shape[axis]), axis=axis)
+            assert float(np.abs(tail).max()) == 0.0
+        xr = pb.irfft_axis_p(y, axis, shape[axis],
+                             scale=1.0 / shape[axis], interpret=True)
+        assert np.linalg.norm(np.asarray(xr) - x) / np.linalg.norm(x) \
+            < 5e-6
+    finally:
+        pb.set_packed_mode(prev)
 
 
 PLANE_CASES = [

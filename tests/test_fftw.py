@@ -216,3 +216,37 @@ def test_aligned():
     assert fftw.get_alignment(a) == 32
     b = fftw.aligned_like(a)
     assert b.shape == a.shape and b.dtype == a.dtype
+
+
+def test_r2r_fft_impl():
+    """FFT-backed DCT/DST (Makhoul N-point real-FFT method) vs the dense
+    MXU basis and scipy, both precisions (reference r2r semantics:
+    fftw/fftw_planxfftn.c:57-76; tolerances tests/test_fftw.py:15)."""
+    import jax.numpy as jnp
+    from mpi4py_fft_tpu.ops import core
+    from mpi4py_fft_tpu.ops.kinds import (
+        FFTW_REDFT10, FFTW_REDFT01, FFTW_RODFT10, FFTW_RODFT01)
+    kind2scipy = {FFTW_REDFT10: ('dct', 2), FFTW_REDFT01: ('dct', 3),
+                  FFTW_RODFT10: ('dst', 2), FFTW_RODFT01: ('dst', 3)}
+    rng = np.random.default_rng(11)
+    prev = core._R2R_IMPL
+    try:
+        for N in (8, 20):
+            for kind, (fn, tp) in kind2scipy.items():
+                for dt, tol in (('float32', 2e-5), ('float64', 1e-12)):
+                    x = rng.standard_normal((4, N, 3)).astype(dt)
+                    core.set_r2r_impl('fft')
+                    out = np.asarray(core.r2r(jnp.asarray(x), (1,),
+                                              (kind,)))
+                    core.set_r2r_impl('dense')
+                    dense = np.asarray(core.r2r(jnp.asarray(x), (1,),
+                                                (kind,)))
+                    ref = getattr(scipy.fft, fn)(
+                        x.astype('float64'), type=tp, axis=1, norm=None)
+                    sc = max(1.0, float(np.abs(ref).max()))
+                    assert np.abs(out - ref).max() / sc < tol, \
+                        (N, kind, dt)
+                    assert np.abs(dense - ref).max() / sc < tol, \
+                        (N, kind, dt)
+    finally:
+        core.set_r2r_impl(prev)
