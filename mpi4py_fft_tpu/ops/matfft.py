@@ -62,9 +62,26 @@ def set_precision(name):
                   'default': _lax.Precision.DEFAULT}[name]
 
 
+_F64_TPU_WARNED = [False]
+
+
 def _prec(dtype):
-    return _lax.Precision.HIGHEST if np.dtype(dtype).itemsize == 8 \
-        else _PRECISION
+    if np.dtype(dtype).itemsize == 8:
+        # honest-f64 gate: TPUs have no native f64 MXU path; x64 einsum
+        # under HIGHEST lowers to multi-pass bf16 with ~f32 accuracy
+        # (measured on chip, docs/precision.md) — far from the reference's
+        # 2e-10 f64 tolerance (tests/test_mpifft.py:17), which this
+        # package meets on the cpu backend only.
+        import jax
+        if not _F64_TPU_WARNED[0] and jax.default_backend() == 'tpu':
+            _F64_TPU_WARNED[0] = True
+            import warnings
+            warnings.warn(
+                "f64 transforms on TPU run as multi-pass bf16 einsum "
+                "(~f32 accuracy, see docs/precision.md); for reference-"
+                "grade f64 (2e-10) use the cpu backend", stacklevel=3)
+        return _lax.Precision.HIGHEST
+    return _PRECISION
 
 
 # Pallas fused-kernel dispatch: 'auto' uses the fused VMEM kernel on a

@@ -171,33 +171,46 @@ class PlanarPFFT(object):
         Mtot = float(np.prod([shape[a] for a in axes]))
         self._norm = 1.0 / Mtot
 
+        # per-axis padded extents for the shard_map executor: each axis is
+        # rounded up to the lcm of every group size that shards it anywhere
+        # in the pencil chain, so uniform per-shard programs and pure tiled
+        # all_to_all transposes cover non-divisible (reference 12/13-style)
+        # extents too.  Pad rows are exact zeros at the tail of the axis;
+        # every local transform slices its axis back to the true extent
+        # first, so the math is exact.  Equal to the true extents for all
+        # production (power-of-two) shapes.
+        ndim_ = len(shape)
+        qs = [1] * ndim_
+        for pen in [self.pencil[0]] + list(self.pencils):
+            for i, c in enumerate(pen.subcomm):
+                qs[i] = int(np.lcm(qs[i], c.Get_size()))
+        self._axis_lcm = tuple(qs)
+        self._phys_pad_shape = tuple(-(-shape[i] // qs[i]) * qs[i]
+                                     for i in range(ndim_))
+        spec = list(self._output_shape)
+        if self._hpad_ext is not None:
+            spec[axes[-1]] = self._hpad_ext
+        self._spec_pad_shape = tuple(-(-spec[i] // qs[i]) * qs[i]
+                                     for i in range(ndim_))
+
         # -- executor: 'gspmd' traces one global program and lets GSPMD
         # infer the collectives from sharding constraints; 'shard_map'
         # writes the per-shard program with explicit lax.all_to_all
         # transposes — required for multi-chip Pallas kernels (GSPMD
         # cannot partition a pallas_call) and gives deterministic
         # collective placement.  'auto' uses shard_map whenever the mesh
-        # is multi-device and every stage resharding divides evenly.
+        # is multi-device (uneven extents ride the padded form above).
         assert executor in ('auto', 'gspmd', 'shard_map')
         nmesh = int(np.prod(self.subcomm.mesh.devices.shape))
-        shmap_ok = nmesh > 1 and self._shmap_divisible()
+        shmap_ok = nmesh > 1
         if executor == 'auto':
             import os as _os
             pref = _os.environ.get('MPI4PY_FFT_TPU_EXECUTOR', 'shard_map')
-            # never let auto change the output contract: shard_map forces
-            # the padded r2c spectrum, so require it to have been asked for
-            contract_safe = self._hpad_ext is None or self._pad_spectrum
-            executor = pref if (pref == 'shard_map' and shmap_ok
-                                and contract_safe) else 'gspmd'
+            executor = pref if (pref == 'shard_map' and shmap_ok) \
+                else 'gspmd'
         elif executor == 'shard_map':
-            assert shmap_ok, (
-                "shard_map executor needs a multi-device mesh and evenly "
-                "divisible extents on every distributed axis")
+            assert shmap_ok, "shard_map executor needs a multi-device mesh"
         self.executor = executor
-        if executor == 'shard_map' and self._hpad_ext is not None:
-            # per-shard programs cannot emit ragged boundary slices; the
-            # spectrum stays at the padded, evenly-shardable extent
-            self._pad_spectrum = True
 
         # donate=True reuses the input buffer's HBM for intermediates
         # (in-place semantics like FFTW_DESTROY_INPUT) — halves the
@@ -217,19 +230,31 @@ class PlanarPFFT(object):
     def _padded(self, ax):
         return self._pad[ax] > 1.0 + 1e-8
 
-    def _shmap_divisible(self):
-        """True if every stage's extents divide evenly over the groups
-        sharding them (a shard_map program has uniform shard shapes)."""
-        spectral = list(self._output_shape)
-        if self._hpad_ext is not None:
-            spectral[self.axes[-1]] = self._hpad_ext
-        pens = [self.pencil[0]] + list(self.pencils)
-        shapes = [self.pencil[0].shape] + [tuple(spectral)] * len(self.pencils)
-        for pen, shp in zip(pens, shapes):
-            for i, c in enumerate(pen.subcomm):
-                if shp[i] % c.Get_size():
-                    return False
-        return True
+    @staticmethod
+    def _slice_ax(p, ax, n):
+        """Slice axis ``ax`` down to extent ``n`` (no-op when equal)."""
+        if p.shape[ax] > n:
+            return p[_axslice(p, ax, slice(0, n))]
+        return p
+
+    @staticmethod
+    def _pad_ax(p, ax, n):
+        """Zero-pad axis ``ax`` up to extent ``n`` (no-op when equal)."""
+        if n > p.shape[ax]:
+            pad = [(0, 0)] * p.ndim
+            pad[ax] = (0, n - p.shape[ax])
+            return jnp.pad(p, pad)
+        return p
+
+    def _pad_axes(self, p, target, off):
+        for i, n in enumerate(target):
+            p = self._pad_ax(p, off + i, n)
+        return p
+
+    def _slice_axes(self, p, target, off):
+        for i, n in enumerate(target):
+            p = self._slice_ax(p, off + i, n)
+        return p
 
     # -- shard_map executor --------------------------------------------
     def _transpose_lax(self, p, i, forward=True):
@@ -248,63 +273,78 @@ class PlanarPFFT(object):
                               concat_axis=1 + axA, tiled=True)
 
     def _forward_local(self, x, normalize):
-        """Per-shard forward program (runs under shard_map)."""
+        """Per-shard forward program (runs under shard_map).
+
+        Axes arrive at their *padded* extents (``_phys_pad_shape``, exact
+        zero tail rows); each is sliced back to its true extent when it is
+        aligned for its transform, and the spectral result is re-padded to
+        ``_spec_pad_shape`` so every tiled all_to_all moves evenly
+        divisible extents."""
         axes = self.axes
         ax0 = axes[-1]
+        spad0 = self._spec_pad_shape[ax0]
         if self.real_transform:
+            x = self._slice_ax(x, ax0, self._input_shape[ax0])
             if self._padded(ax0):
                 p = _local_rfft(x, ax0)
                 p = truncate_planar(p, 1 + ax0, self._trunc[ax0] // 2 + 1,
                                     hermitian=True)
-                if self._hpad_ext is not None:
-                    pad = [(0, 0)] * p.ndim
-                    pad[1 + ax0] = (0, self._hpad_ext - p.shape[1 + ax0])
-                    p = jnp.pad(p, pad)
+                p = self._pad_ax(p, 1 + ax0, spad0)
             else:
-                p = _local_rfft(x, ax0, hext=self._hpad_ext)
+                p = _local_rfft(x, ax0,
+                                hext=spad0 if spad0 > x.shape[ax0] // 2 + 1
+                                else None)
         else:
+            x = self._slice_ax(x, 1 + ax0, self._input_shape[ax0])
             p = _local_fft1d(x, ax0, True)
             if self._padded(ax0):
                 p = truncate_planar(p, 1 + ax0, self._trunc[ax0],
                                     hermitian=False)
+            p = self._pad_ax(p, 1 + ax0, spad0)
         nmid = len(axes) - 1
         folded = False
         for i, ax in enumerate(reversed(axes[:-1])):
             sc = self._norm if (normalize and i == nmid - 1) else None
             folded = folded or sc is not None
             p = self._transpose_lax(p, i, True)
+            p = self._slice_ax(p, 1 + ax, self._input_shape[ax])
             p = _local_fft1d(p, ax, True, scale=sc)
             if self._padded(ax):
                 p = truncate_planar(p, 1 + ax, self._trunc[ax],
                                     hermitian=False)
+            p = self._pad_ax(p, 1 + ax, self._spec_pad_shape[ax])
         if normalize and not folded:
             p = p * np.asarray(self._norm, dtype=self.rdtype)
         return p
 
     def _backward_local(self, p, normalize):
-        """Per-shard backward program (runs under shard_map)."""
+        """Per-shard backward program (runs under shard_map); axes arrive
+        at ``_spec_pad_shape`` extents and leave at ``_phys_pad_shape``."""
         axes = self.axes
         for i, ax in enumerate(axes[:-1]):
+            p = self._slice_ax(p, 1 + ax, self._trunc[ax])
             if self._padded(ax):
                 p = pad_planar(p, 1 + ax, self._input_shape[ax],
                                hermitian=False)
             p = _local_fft1d(p, ax, False)
+            p = self._pad_ax(p, 1 + ax, self._phys_pad_shape[ax])
             p = self._transpose_lax(p, len(axes) - 2 - i, False)
         ax0 = axes[-1]
-        if self._hpad_ext is not None:
-            p = p[_axslice(p, 1 + ax0, slice(0, self._output_shape[ax0]))]
+        p = self._slice_ax(p, 1 + ax0, self._output_shape[ax0])
         if self.real_transform:
             if self._padded(ax0):
                 p = pad_planar(p, 1 + ax0, self._input_shape[ax0] // 2 + 1,
                                hermitian=True)
             y = _local_irfft(p, ax0, self._input_shape[ax0],
                              scale=self._norm if normalize else None)
+            y = self._pad_ax(y, ax0, self._phys_pad_shape[ax0])
         else:
             if self._padded(ax0):
                 p = pad_planar(p, 1 + ax0, self._input_shape[ax0],
                                hermitian=False)
             y = _local_fft1d(p, ax0, False,
                              scale=self._norm if normalize else None)
+            y = self._pad_ax(y, 1 + ax0, self._phys_pad_shape[ax0])
         return y
 
     def _phys_spec(self):
@@ -317,28 +357,36 @@ class PlanarPFFT(object):
         return PartitionSpec(None, *[c.name for c in
                                      self.pencils[-1].subcomm])
 
+    def _spec_contract_shape(self):
+        """User-facing spectral extents: true extents, except the r2c axis
+        which stays padded under the ``pad_spectrum`` contract."""
+        sh = list(self._output_shape)
+        if self._pad_spectrum and self._hpad_ext is not None:
+            sh[self.axes[-1]] = self._hpad_ext
+        return tuple(sh)
+
     def _forward_shmap(self, x, normalize):
+        off = 0 if self.real_transform else 1
+        x = self._pad_axes(x, self._phys_pad_shape, off)
         f = _shard_map(lambda q: self._forward_local(q, normalize),
                        mesh=self.subcomm.mesh,
                        in_specs=(self._phys_spec(),),
                        out_specs=self._spec_spec())
-        return f(x)
+        p = f(x)
+        # boundary slice back to the user contract (no-op for production
+        # shapes; for uneven extents GSPMD pays one gather here, never in
+        # the pipeline's transposes)
+        return self._slice_axes(p, self._spec_contract_shape(), 1)
 
     def _backward_shmap(self, p, normalize):
-        hax = self.axes[-1]
-        if self._hpad_ext is not None and \
-                p.shape[1 + hax] != self._hpad_ext:
-            # legacy unpadded spectrum: pad at the XLA level before the
-            # per-shard program (may cost a gather; pass the padded form
-            # from forward() to avoid it)
-            pad = [(0, 0)] * p.ndim
-            pad[1 + hax] = (0, self._hpad_ext - p.shape[1 + hax])
-            p = jnp.pad(p, pad)
+        p = self._pad_axes(p, self._spec_pad_shape, 1)
         f = _shard_map(lambda q: self._backward_local(q, normalize),
                        mesh=self.subcomm.mesh,
                        in_specs=(self._spec_spec(),),
                        out_specs=self._phys_spec())
-        return f(p)
+        y = f(p)
+        off = 0 if self.real_transform else 1
+        return self._slice_axes(y, self._input_shape, off)
 
     def _forward_impl(self, x, normalize):
         axes = self.axes
