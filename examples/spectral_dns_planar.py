@@ -107,7 +107,7 @@ def run(N=(64, 64, 64), T=0.1, dt=0.01, dtype='d', verbose=True):
         nsteps += 1
         U_hat = step(U_hat)
     # scalar fetch forces the queue to drain (tunneled platforms)
-    float(np.asarray(jax.device_get(U_hat.ravel()[:1]))[0])
+    float(np.asarray(jax.device_get(U_hat[(0,) * U_hat.ndim])))
     k = energy(U_hat)
     if verbose:
         print(f'Time = {time() - t0:.3f} s  ({nsteps} steps)')

@@ -48,7 +48,13 @@ __all__ = ['fft_axis_p', 'supported_axis', 'rfft_axis_p',
 
 _LANE = 128
 _SUB = 8
-_MAX_N = 256           # VMEM bound: tile + twiddle pack + state temps
+_MAX_N = 256           # fused-2-axis / packed-real bound (tile + twiddles)
+# c2c axis kernels go longer: at N=512/1024 the (block + twiddle pack +
+# stage temps) working set still fits v5e VMEM with a raised
+# vmem_limit_bytes (probed on hardware, scripts/tpu_longN_probe.py).
+# This is what lets the 1024^3 north-star run fused on one 16 GB chip —
+# the four-step einsum fallback materializes a 16 GB HLO temp and OOMs.
+_MAX_N_AXIS = 1024
 
 
 def _bspec(shape, imap, memory_space=None):
@@ -65,8 +71,58 @@ def _bspec(shape, imap, memory_space=None):
 
 import os as _os
 # last-axis kernel variant: '1' = (1024, N) 2-D transpose, '2' = two
-# tile-local moves on (8, 128, N) blocks.  A/B-tested on hardware.
-_LAST_VARIANT = _os.environ.get('MPI4PY_FFT_TPU_LAST_VARIANT', '1')
+# tile-local moves on (8, 128, N) blocks.  A/B-tested on hardware:
+# '1' wins at N <= 256, '2' wins at N >= 512 (521 vs 554 GB/s at 1024,
+# scripts/tpu_longN_probe.py) — 'auto' picks per N.
+_LAST_VARIANT = _os.environ.get('MPI4PY_FFT_TPU_LAST_VARIANT', 'auto')
+
+
+def _last_variant(N):
+    if _LAST_VARIANT == 'auto':
+        return '2' if N >= 512 else '1'
+    return _LAST_VARIANT
+# in-place HBM update: alias each c2c axis pass's input buffer to its
+# output (the block index maps are identity, so every grid step reads and
+# writes the same HBM block).  In a fused pipeline whose intermediates
+# are dead after use this halves the live-volume count — required for
+# 1024^3 (two 8.6 GB planar volumes exceed the 15.75 GB HBM).  XLA
+# inserts a protective copy iff the caller's input is still live.
+_INPLACE = _os.environ.get('MPI4PY_FFT_TPU_INPLACE', 'on') == 'on'
+
+
+def _alias():
+    return {0: 0} if _INPLACE else {}
+
+
+def _cparams(N, mb=None):
+    """Compiler params per transform length: long-N kernels need a raised
+    VMEM budget (block + twiddle pack + ~3 live stage states)."""
+    if mb is None:
+        if N <= 256:
+            return None
+        mb = 96 if N <= 512 else 120
+    return pltpu.CompilerParams(vmem_limit_bytes=mb * 2 ** 20)
+
+
+def _pcall(kern, x, tw, block, imap, tw_spec, grid, N, interpret, mb=None):
+    """Shared pallas_call wrapper for the c2c axis kernels: identical
+    in/out blocking, optional in-place aliasing, per-N VMEM budget."""
+    kw = {}
+    cp = _cparams(N, mb)
+    if cp is not None and not interpret:
+        kw['compiler_params'] = cp
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=grid,
+        in_specs=[_bspec(block, imap, memory_space=pltpu.VMEM), tw_spec],
+        out_specs=_bspec(block, imap, memory_space=pltpu.VMEM),
+        input_output_aliases=_alias() if not interpret else {},
+        interpret=interpret,
+        **kw,
+    )(x, tw)
+
+
 # lead-axis variant: '1' = (2, N, 1024) block + in-kernel lane split,
 # '2' = native (2, N, 8, 128) blocks (no in-kernel relayout),
 # '3' = (2, N, 16, 128) blocks — doubles the HBM chunk size to 8 KiB.
@@ -271,6 +327,8 @@ def _kern_lead1(x_ref, tw_ref, o_ref, *, N, sign, scale):
     o_ref[1] = i.reshape(N, Q)
 
 
+
+
 # ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
@@ -293,7 +351,7 @@ def supported_axis(shape, axis, dtype):
     nd = len(shape)
     axis = axis % nd
     N = shape[axis]
-    if not _is_pow2(N) or N > _MAX_N:
+    if not _is_pow2(N) or N > _MAX_N_AXIS:
         return False
     pre = int(np.prod(shape[:axis], dtype=np.int64)) if axis else 1
     post = int(np.prod(shape[axis + 1:], dtype=np.int64)) \
@@ -323,49 +381,42 @@ def _dispatch(p, axis, sign, interpret, scale):
                            memory_space=pltpu.VMEM)
 
     if post == 1:
-        if _LAST_VARIANT == '2':
+        if _last_variant(N) == '2':
             x = p.reshape(2, pre // _LANE, _LANE, N)
-            out = pl.pallas_call(
+            out = _pcall(
                 functools.partial(_kern_last2, N=N, sign=sign, scale=scale),
-                out_shape=jax.ShapeDtypeStruct(
-                    (2, pre // _LANE, _LANE, N), p.dtype),
-                grid=(pre // (_SUB * _LANE),),
-                in_specs=[_bspec((2, _SUB, _LANE, N),
-                                       lambda i: (0, i, 0, 0),
-                                       memory_space=pltpu.VMEM), tw_spec],
-                out_specs=_bspec((2, _SUB, _LANE, N),
-                                       lambda i: (0, i, 0, 0),
-                                       memory_space=pltpu.VMEM),
-                interpret=interpret,
-            )(x, tw)
+                x, tw, (2, _SUB, _LANE, N), lambda i: (0, i, 0, 0),
+                tw_spec, (pre // (_SUB * _LANE),), N, interpret)
             return out.reshape(p.shape)
         x = p.reshape(2, pre, N)
         R = _SUB * _LANE
-        out = pl.pallas_call(
+        out = _pcall(
             functools.partial(_kern_last, N=N, sign=sign, scale=scale),
-            out_shape=jax.ShapeDtypeStruct((2, pre, N), p.dtype),
-            grid=(pre // R,),
-            in_specs=[_bspec((2, R, N), lambda i: (0, i, 0),
-                                   memory_space=pltpu.VMEM), tw_spec],
-            out_specs=_bspec((2, R, N), lambda i: (0, i, 0),
-                                   memory_space=pltpu.VMEM),
-            interpret=interpret,
-        )(x, tw)
+            x, tw, (2, R, N), lambda i: (0, i, 0),
+            tw_spec, (pre // R,), N, interpret)
     elif pre == 1:
+        if (N > _MAX_N and p.ndim == 4 and p.shape[3] % _LANE == 0
+                and p.shape[2] % _SUB == 0):
+            # long-N: (2, N, 8, 128) blocks over the NATIVE 4-D shape
+            # (2-D grid) instead of reshaping to (2, N, post//128, 128)
+            # outside — that reshape splits the lane dim, which under TPU
+            # (8,128) tiling is a physical relayout that XLA materializes
+            # as a full extra volume (8 GB at 1024^3: the difference
+            # between fitting the 15.75 GB HBM and OOM).
+            out = _pcall(
+                functools.partial(_kern_lead, N=N, sign=sign, scale=scale),
+                p, tw, (2, N, _SUB, _LANE), lambda i, j: (0, 0, i, j),
+                tw_spec, (p.shape[2] // _SUB, p.shape[3] // _LANE),
+                N, interpret)
+            return out
         if post % _LANE:
             # ragged lane extent: variant-1 blocks with a masked edge
             x = p.reshape(2, N, post)
             Q = _SUB * _LANE
-            out = pl.pallas_call(
+            out = _pcall(
                 functools.partial(_kern_lead1, N=N, sign=sign, scale=scale),
-                out_shape=jax.ShapeDtypeStruct((2, N, post), p.dtype),
-                grid=(_cdiv(post, Q),),
-                in_specs=[_bspec((2, N, Q), lambda i: (0, 0, i),
-                                 memory_space=pltpu.VMEM), tw_spec],
-                out_specs=_bspec((2, N, Q), lambda i: (0, 0, i),
-                                 memory_space=pltpu.VMEM),
-                interpret=interpret,
-            )(x, tw)
+                x, tw, (2, N, Q), lambda i: (0, 0, i),
+                tw_spec, (_cdiv(post, Q),), N, interpret)
             return out.reshape(p.shape)
         if _LEAD_VARIANT == '3' and post % (2 * _SUB * _LANE) == 0:
             S = 2 * _SUB                     # 16 sublanes: 8 KiB HBM chunks
@@ -375,64 +426,30 @@ def _dispatch(p, axis, sign, interpret, scale):
                                    lambda *g: (0, 0, 0, 0),
                                    memory_space=pltpu.VMEM)
             x = p.reshape(2, N, post // _LANE, _LANE)
-            out = pl.pallas_call(
+            out = _pcall(
                 functools.partial(_kern_lead, N=N, sign=sign, scale=scale),
-                out_shape=jax.ShapeDtypeStruct(
-                    (2, N, post // _LANE, _LANE), p.dtype),
-                grid=(post // (S * _LANE),),
-                in_specs=[_bspec((2, N, S, _LANE),
-                                       lambda i: (0, 0, i, 0),
-                                       memory_space=pltpu.VMEM), tw_spec],
-                out_specs=_bspec((2, N, S, _LANE),
-                                       lambda i: (0, 0, i, 0),
-                                       memory_space=pltpu.VMEM),
-                compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=64 * 2 ** 20),
-                interpret=interpret,
-            )(x, tw)
+                x, tw, (2, N, S, _LANE), lambda i: (0, 0, i, 0),
+                tw_spec, (post // (S * _LANE),), N, interpret, mb=64)
             return out.reshape(p.shape)
         if _LEAD_VARIANT == '1':
             x = p.reshape(2, N, post)
             Q = _SUB * _LANE
-            out = pl.pallas_call(
+            out = _pcall(
                 functools.partial(_kern_lead1, N=N, sign=sign, scale=scale),
-                out_shape=jax.ShapeDtypeStruct((2, N, post), p.dtype),
-                grid=(_cdiv(post, Q),),
-                in_specs=[_bspec((2, N, Q), lambda i: (0, 0, i),
-                                       memory_space=pltpu.VMEM), tw_spec],
-                out_specs=_bspec((2, N, Q), lambda i: (0, 0, i),
-                                       memory_space=pltpu.VMEM),
-                interpret=interpret,
-            )(x, tw)
+                x, tw, (2, N, Q), lambda i: (0, 0, i),
+                tw_spec, (_cdiv(post, Q),), N, interpret)
             return out.reshape(p.shape)
         x = p.reshape(2, N, post // _LANE, _LANE)
-        out = pl.pallas_call(
+        out = _pcall(
             functools.partial(_kern_lead, N=N, sign=sign, scale=scale),
-            out_shape=jax.ShapeDtypeStruct((2, N, post // _LANE, _LANE),
-                                           p.dtype),
-            grid=(_cdiv(post // _LANE, _SUB),),
-            in_specs=[_bspec((2, N, _SUB, _LANE),
-                                   lambda i: (0, 0, i, 0),
-                                   memory_space=pltpu.VMEM), tw_spec],
-            out_specs=_bspec((2, N, _SUB, _LANE),
-                                   lambda i: (0, 0, i, 0),
-                                   memory_space=pltpu.VMEM),
-            interpret=interpret,
-        )(x, tw)
+            x, tw, (2, N, _SUB, _LANE), lambda i: (0, 0, i, 0),
+            tw_spec, (_cdiv(post // _LANE, _SUB),), N, interpret)
     else:
         x = p.reshape(2, pre, N, post)
-        out = pl.pallas_call(
+        out = _pcall(
             functools.partial(_kern_mid, N=N, sign=sign, scale=scale),
-            out_shape=jax.ShapeDtypeStruct((2, pre, N, post), p.dtype),
-            grid=(pre // _SUB, _cdiv(post, _LANE)),
-            in_specs=[_bspec((2, _SUB, N, _LANE),
-                                   lambda i, j: (0, i, 0, j),
-                                   memory_space=pltpu.VMEM), tw_spec],
-            out_specs=_bspec((2, _SUB, N, _LANE),
-                                   lambda i, j: (0, i, 0, j),
-                                   memory_space=pltpu.VMEM),
-            interpret=interpret,
-        )(x, tw)
+            x, tw, (2, _SUB, N, _LANE), lambda i, j: (0, i, 0, j),
+            tw_spec, (pre // _SUB, _cdiv(post, _LANE)), N, interpret)
     return out.reshape(p.shape)
 
 

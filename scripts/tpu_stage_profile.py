@@ -29,7 +29,7 @@ def main():
     p = jnp.asarray(rng.standard_normal((2,) + N).astype(np.float32))
 
     def sync(v):
-        return float(np.asarray(jax.device_get(v.ravel()[:1]))[0])
+        return float(np.asarray(jax.device_get(v[(0,) * v.ndim])))
 
     def bench(tag, fn):
         j = jax.jit(fn)
