@@ -83,7 +83,11 @@ def _bench_fft(n, reps, chain):
     for _ in range(reps):
         y = fwd(y)
     _sync(y)
-    dt = max(time.perf_counter() - t0 - t_sync, 1e-9) / (reps * per_call)
+    t_loop = time.perf_counter() - t0
+    # subtract the measured sync roundtrip, but never let it swallow the
+    # loop (at small n the tunnel latency is comparable to the work and
+    # naive subtraction reports ~0 ms / absurd GFLOP/s)
+    dt = (t_loop - min(t_sync, 0.2 * t_loop)) / (reps * per_call)
     return dt, pfft
 
 
@@ -112,11 +116,16 @@ def _bench_transposes(n, reps):
             jnp.zeros((n, n, n), jnp.float32), pA.boundary_sharding())
         bytes_moved = n ** 3 * 4
     else:
-        c = np.float32(1.0000001)
+        from jax import lax as _lax
 
         def rot(x):
+            # optimization_barrier pins each transpose as a materialized
+            # step: without it XLA collapses chained swapaxes (transpose
+            # composes with transpose, and elementwise scaling commutes)
+            # into a single relayout — or none — and the bench would
+            # report impossible >HBM-roofline rates
             for _ in range(chain):
-                x = jnp.swapaxes(x, 0, 2) * c   # scale defeats cancellation
+                x = _lax.optimization_barrier(jnp.swapaxes(x, 0, 2))
             return x
         f = jax.jit(rot, donate_argnums=(0,))
         # one real plane, not the planar pair: the out-of-place transpose
@@ -135,7 +144,8 @@ def _bench_transposes(n, reps):
     for _ in range(reps):
         y = f(y)
     _sync(y)
-    dt = max(time.perf_counter() - t0 - t_sync, 1e-9) / (reps * chain)
+    t_loop = time.perf_counter() - t0
+    dt = (t_loop - min(t_sync, 0.2 * t_loop)) / (reps * chain)
     return 1.0 / dt, bytes_moved / dt / 1e9
 
 
@@ -214,6 +224,9 @@ def main():
         "transposes_per_s": round(tps, 2),
         "transpose_GBps": round(tgbps, 1),
         "bench_n": n,
+        # the numpy rate is measured at baseline_n (pocketfft's GFLOP/s is
+        # ~size-independent at these volumes); vs_baseline is rate vs rate
+        "baseline_n": n_np,
         "fft_ms": round(dt * 1e3, 3),
     }))
 

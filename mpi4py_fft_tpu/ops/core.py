@@ -207,12 +207,25 @@ def set_r2r_impl(impl):
 _FFT_R2R_KINDS = (FFTW_REDFT10, FFTW_REDFT01, FFTW_RODFT10, FFTW_RODFT01)
 
 
+_DENSE_R2R_WARNED = set()
+
+
 def _use_fft_r2r(N, kind):
     if _R2R_IMPL == 'dense' or kind not in _FFT_R2R_KINDS:
         return False
     if _R2R_IMPL == 'fft':
         return True
-    return N >= 16 and N % 2 == 0      # auto: even lengths, big enough
+    use = N >= 16 and N % 2 == 0       # auto: even lengths, big enough
+    if not use and N >= 512 and (N, kind) not in _DENSE_R2R_WARNED:
+        # no-silent-caps: large odd-N DCT/DST fall back to the dense
+        # O(N^2) MXU basis — exact but quadratically more expensive
+        _DENSE_R2R_WARNED.add((N, kind))
+        import warnings
+        warnings.warn(
+            f"r2r kind {kind} at odd length N={N} uses the dense O(N^2) "
+            "basis path (the FFT-backed method needs even N); prefer "
+            "even extents for r2r axes at production sizes", stacklevel=3)
+    return use
 
 
 def _take(x, idx, axis):

@@ -426,10 +426,13 @@ def _dispatch(p, axis, sign, interpret, scale):
                                    lambda *g: (0, 0, 0, 0),
                                    memory_space=pltpu.VMEM)
             x = p.reshape(2, N, post // _LANE, _LANE)
+            # N <= 256: 64 MB covers the doubled (S=16) block; longer N
+            # needs _cparams' per-N budget (96/120 MB) or compile fails
             out = _pcall(
                 functools.partial(_kern_lead, N=N, sign=sign, scale=scale),
                 x, tw, (2, N, S, _LANE), lambda i: (0, 0, i, 0),
-                tw_spec, (post // (S * _LANE),), N, interpret, mb=64)
+                tw_spec, (post // (S * _LANE),), N, interpret,
+                mb=64 if N <= 256 else None)
             return out.reshape(p.shape)
         if _LEAD_VARIANT == '1':
             x = p.reshape(2, N, post)

@@ -63,9 +63,21 @@ class Timer(object):
         return "\n".join(lines)
 
 
+def _sync_scalar(v):
+    """Drain the execution queue with a single-element D2H fetch
+    (block_until_ready is unreliable on tunneled platforms; see bench.py)."""
+    return float(np.asarray(jax.device_get(v[(0,) * v.ndim])).real)
+
+
 def stage_times(transform, x=None, reps=3):
     """Time each serial-transform stage and each transpose of a Transform
     separately (forward direction of the given Transform).
+
+    The pipeline runs in its real form: logically complex stage data is
+    planar ((2,)+shape real, ``transform._planars``), and every reshard is
+    applied at the planar rank the fused executor uses
+    (parallel/mpifft.py Transform._impl) — so the staged data flow is
+    exactly the production pipeline, cut at stage boundaries.
 
     Returns dict: {'stage0': s, 'transpose0': s, 'stage1': s, ...,
                    'fused_total': s} — fused_total is the production path
@@ -76,6 +88,12 @@ def stage_times(transform, x=None, reps=3):
     import jax.numpy as jnp
     if x is None:
         x = transform.input_array.v
+    x = np.asarray(x)
+    pl = getattr(transform, '_planars',
+                 (False,) * (len(transform._stages) + 1))
+    if pl[0] and np.dtype(x.dtype).kind == 'c':
+        # host boundary: complex input -> planar pipeline form
+        x = np.ascontiguousarray(np.stack([x.real, x.imag]))
     x = jnp.asarray(x)
 
     out = {}
@@ -85,28 +103,39 @@ def stage_times(transform, x=None, reps=3):
     def timed(fn, v):
         jfn = jax.jit(fn)
         y = jfn(v)
-        y.block_until_ready()
+        _sync_scalar(y)
+        for _ in range(2):      # warmup (one-time dispatch cost, bench.py)
+            y = jfn(v)
+        _sync_scalar(y)
         t0 = time.perf_counter()
         for _ in range(reps):
             y = jfn(v)
-        y.block_until_ready()
+        _sync_scalar(y)
         return y, (time.perf_counter() - t0) / reps
 
     cur, dt = timed(lambda v: transform._stages[0](v, normalize), cur)
     out['stage0'] = dt
     for i, (stage, reshard) in enumerate(
             zip(transform._stages[1:], transform._reshards)):
-        cur, dt = timed(reshard, cur)
+        # the data entering stage i+1 is planar iff _planars[i+1] — the
+        # reshard must treat the leading planar axis as replicated
+        rank = int(pl[i + 1])
+        cur, dt = timed(lambda v, f=reshard, r=rank: f(v, rank=r), cur)
         out[f'transpose{i}'] = dt
         cur, dt = timed(lambda v, s=stage: s(v, normalize), cur)
         out[f'stage{i + 1}'] = dt
+    out['_staged_result'] = cur
 
     if transform._jit is not None:
         y = transform._jit(x, normalize)
-        y.block_until_ready()
+        _sync_scalar(y)
+        for _ in range(2):
+            y = transform._jit(x, normalize)
+        _sync_scalar(y)
         t0 = time.perf_counter()
         for _ in range(reps):
             y = transform._jit(x, normalize)
-        y.block_until_ready()
+        _sync_scalar(y)
         out['fused_total'] = (time.perf_counter() - t0) / reps
+        out['_fused_result'] = y
     return out

@@ -38,6 +38,10 @@ def _bench(jax, fn, x, reps, tag):
         # warmup: the first few post-compile executions pay a ~2 s
         # one-time cost on the tunneled platform
         y = fn(x)
+    # drain the warmup dispatches BEFORE measuring the sync overhead
+    # (otherwise ts includes the in-flight warmup executions and the
+    # subtraction below understates per-call time; matches bench.py)
+    _sync(jax, y)
     t0 = time.perf_counter()
     _sync(jax, y)
     ts = time.perf_counter() - t0
@@ -45,7 +49,9 @@ def _bench(jax, fn, x, reps, tag):
     for _ in range(reps):
         y = fn(x)
     _sync(jax, y)
-    dt = max(time.perf_counter() - t0 - ts, 1e-9) / reps
+    t_loop = time.perf_counter() - t0
+    # clamp the sync subtraction so it can never swallow the loop
+    dt = (t_loop - min(ts, 0.2 * t_loop)) / reps
     print(f"{tag:44s} {dt * 1e3:9.3f} ms   (compile {tc:.0f}s)", flush=True)
     return dt
 
@@ -182,6 +188,8 @@ def stages():
     tot_x = sum(v for k, v in out.items() if k.startswith('transpose'))
     print(f"stage split: r2c {n}^3 forward", flush=True)
     for k, v in out.items():
+        if k.startswith('_'):           # carried arrays, not timings
+            continue
         print(f"  {k:12s} {v * 1e3:9.3f} ms", flush=True)
     print(f"  transforms {tot_t * 1e3:.3f} ms | transposes "
           f"{tot_x * 1e3:.3f} ms", flush=True)
