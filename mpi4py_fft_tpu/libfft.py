@@ -356,6 +356,15 @@ class FFT(FFTBase):
     # ------------------------------------------------------------------
     # pure functional path (fused into the parallel XLA program)
     # ------------------------------------------------------------------
+    def _stage_shape(self, data_shape, planned_shape, axis):
+        """Target shape for truncation/padding along ``axis``: the data's
+        own shape with the planned extent substituted — the stage functions
+        are shape-generic along non-transformed (batch) axes so they can
+        run per-shard inside shard_map (where batch extents are local)."""
+        sh = list(data_shape)
+        sh[axis] = planned_shape[axis]
+        return tuple(sh)
+
     def forward_fn(self, x, normalize=True):
         """Pure forward stage: core transform, truncation, normalization."""
         xp = np if self._host_backend else jnp
@@ -364,8 +373,11 @@ class FFT(FFTBase):
         else:
             y = self.fwd.fn(x, normalize=False)
         if abs(self.padding_factor - 1.0) > 1e-8:
-            y = truncate_spectral(y, tuple(self.forward.output_array.shape),
-                                  self.axes[-1], self.real_transform, xp=xp)
+            axis = self.axes[-1]
+            y = truncate_spectral(
+                y, self._stage_shape(np.shape(y),
+                                     self.forward.output_array.shape, axis),
+                axis, self.real_transform, xp=xp)
         if normalize:
             y = y * xp.asarray(self.M, dtype=np.asarray(y).real.dtype
                                if xp is np else y.real.dtype)
@@ -375,8 +387,11 @@ class FFT(FFTBase):
         """Pure backward stage: zero-padding, core transform."""
         xp = np if self._host_backend else jnp
         if abs(self.padding_factor - 1.0) > 1e-8:
-            x = pad_spectral(x, tuple(self.bck.input_array.shape),
-                             self.axes[-1], self.real_transform, xp=xp)
+            axis = self.axes[-1]
+            x = pad_spectral(
+                x, self._stage_shape(np.shape(x),
+                                     self.bck.input_array.shape, axis),
+                axis, self.real_transform, xp=xp)
         if self._host_backend:
             y = self.bck.fn(x)
         else:
@@ -415,8 +430,10 @@ class FFT(FFTBase):
                                     hermitian=self.real_transform)
             else:
                 y = truncate_spectral(
-                    y, tuple(self.forward.output_array.shape), axis,
-                    self.real_transform, xp=jnp)
+                    y, self._stage_shape(y.shape,
+                                         self.forward.output_array.shape,
+                                         axis),
+                    axis, self.real_transform, xp=jnp)
         if normalize:
             y = y * jnp.asarray(self.M, dtype=y.dtype)
         return y
@@ -432,8 +449,10 @@ class FFT(FFTBase):
                 p = pad_planar(p, 1 + axis, Np,
                                hermitian=self.real_transform)
             else:
-                p = pad_spectral(p, tuple(self.bck.input_array.shape), axis,
-                                 self.real_transform, xp=jnp)
+                p = pad_spectral(
+                    p, self._stage_shape(p.shape,
+                                         self.bck.input_array.shape, axis),
+                    axis, self.real_transform, xp=jnp)
         y = self.bck.fn_p(p, normalize=False)
         if normalize:
             y = y * jnp.asarray(self.M, dtype=y.dtype)

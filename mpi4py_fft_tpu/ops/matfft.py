@@ -97,6 +97,38 @@ def set_pallas_mode(mode):
     _PALLAS_MODE = mode
 
 
+# local (per-shard) dispatch: inside a shard_map body the global
+# device_count gate is wrong — each program instance computes on its OWN
+# shard and the Pallas kernels apply whenever the *local* shapes are
+# supported.  The executors (parallel/mpifft.py, parallel/planar.py) set
+# this flag while tracing their per-shard programs; the decision is baked
+# into the jaxpr at trace time.  This is what gives the full-featured
+# PFFT the multi-chip Pallas path (GSPMD cannot partition a pallas_call;
+# reference has a single production path regardless of rank count,
+# mpi4py_fft/mpifft.py:308-338).
+import contextlib as _contextlib
+
+_LOCAL_DISPATCH = [False]
+
+
+@_contextlib.contextmanager
+def local_dispatch():
+    """While active, kernel-dispatch gates ignore the global device count
+    (for tracing per-shard programs under shard_map)."""
+    old = _LOCAL_DISPATCH[0]
+    _LOCAL_DISPATCH[0] = True
+    try:
+        yield
+    finally:
+        _LOCAL_DISPATCH[0] = old
+
+
+def _single_or_local():
+    import jax
+    return jax.default_backend() == 'tpu' and \
+        (_LOCAL_DISPATCH[0] or jax.device_count() == 1)
+
+
 def _use_pallas(N):
     if _PALLAS_MODE == 'off':
         return False
@@ -105,8 +137,7 @@ def _use_pallas(N):
         return False
     if _PALLAS_MODE == 'on':
         return True
-    import jax
-    return jax.default_backend() == 'tpu' and jax.device_count() == 1
+    return _single_or_local()
 
 
 # Stockham butterfly kernel dispatch (ops/pallas_butterfly.py): the
@@ -132,8 +163,7 @@ def _use_butterfly(shape, axis, dtype, r2c=False):
         return False
     if _BFLY_MODE == 'on':
         return True
-    import jax
-    return jax.default_backend() == 'tpu' and jax.device_count() == 1
+    return _single_or_local()
 
 
 def _butterfly_large_split(shape, axis, dtype):
@@ -164,10 +194,8 @@ def _butterfly_large_split(shape, axis, dtype):
         dit = False
     if not ok:
         return None
-    if _BFLY_MODE != 'on':
-        import jax
-        if not (jax.default_backend() == 'tpu' and jax.device_count() == 1):
-            return None
+    if _BFLY_MODE != 'on' and not _single_or_local():
+        return None
     return (R, Q, dit)
 
 
@@ -521,8 +549,7 @@ def _use_butterfly_c2r(shape, axis, n, dtype):
         return False
     if _BFLY_MODE == 'on':
         return True
-    import jax
-    return jax.default_backend() == 'tpu' and jax.device_count() == 1
+    return _single_or_local()
 
 
 def irfftn_p(p, axes, last_size, scale=None):

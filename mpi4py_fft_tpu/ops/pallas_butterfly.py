@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ['fft_axis_p', 'supported_axis', 'rfft_axis_p',
            'irfft_axis_p', 'supported_c2r', 'fft_plane_p',
-           'supported_plane']
+           'supported_plane', 'fft_plane_large_p', 'supported_plane_large']
 
 _LANE = 128
 _SUB = 8
@@ -579,6 +579,106 @@ def fft_plane_p(p, forward=True, interpret=None, scale=None):
     sign = -1 if forward else +1
     return _dispatch_plane(p, sign, interpret,
                            None if scale is None else float(scale))
+
+
+# ---------------------------------------------------------------------------
+# LARGE fused two-axis plane kernel — one full (N1, N2) plane per block.
+#
+# The T-packed plane kernel above (supported_plane) targets small axes
+# (N <= 256) and lost its A/B on hardware.  At the north-star size the
+# economics flip: a full (1024, 1024) planar plane is 8 MB — ONE block in
+# VMEM — and fusing the last two axes cuts a 3-D transform from 6 HBM
+# passes to 4.  Measured on v5e (scripts/tpu_r3_profile.py): the
+# individual axis kernels run at ~540-610 GB/s effective, and the fused
+# 3-axis pipeline equals their sum exactly, so pass-count is the only
+# remaining lever.  In-kernel moves are all from the probed-legal set:
+# 2-D swapaxes, lane splits/merges.  Blocks are same-shaped in/out, so
+# in-place HBM aliasing (required to fit 1024^3) still applies.
+# Role of the fused multidim guru plan: reference
+# mpi4py_fft/fftw/fftw_planxfftn.c:10-40 (ranks[] loop).
+# ---------------------------------------------------------------------------
+
+def _kern_plane_large(x_ref, tw2_ref, tw1_ref, o_ref, *, N1, N2, sign,
+                      scale):
+    xr, xi = x_ref[0, 0], x_ref[1, 0]              # (N1, N2)
+    # stage A: transform N2 (state (N2, N1/128, 128))
+    ar = jnp.swapaxes(xr, 0, 1).reshape(N2, N1 // _LANE, _LANE)
+    ai = jnp.swapaxes(xi, 0, 1).reshape(N2, N1 // _LANE, _LANE)
+    br, bi = _butterfly(ar, ai, tw2_ref, N2, sign)
+    # stage B: transform N1 (state (N1, N2/128, 128))
+    cr = jnp.swapaxes(br.reshape(N2, N1), 0, 1).reshape(
+        N1, N2 // _LANE, _LANE)
+    ci = jnp.swapaxes(bi.reshape(N2, N1), 0, 1).reshape(
+        N1, N2 // _LANE, _LANE)
+    dr, di = _butterfly(cr, ci, tw1_ref, N1, sign, scale)
+    o_ref[0, 0] = dr.reshape(N1, N2)
+    o_ref[1, 0] = di.reshape(N1, N2)
+
+
+def supported_plane_large(shape, dtype):
+    """True if ``fft_plane_large_p`` can fuse the LAST TWO axes of
+    ``shape`` (complex dims, no planar axis): f32, both pow2 multiples of
+    128, plane small enough that block + twiddles + stage temps fit VMEM."""
+    if np.dtype(dtype) != np.float32 or len(shape) < 2:
+        return False
+    N1, N2 = shape[-2], shape[-1]
+    if not (_is_pow2(N1) and _is_pow2(N2)):
+        return False
+    if N1 % _LANE or N2 % _LANE:
+        return False
+    return N1 * N2 <= 2 ** 20          # <= 8 MB planar block
+
+
+def _plane_tw(N, sign, dtype_str, sub):
+    """Stage twiddle pages shaped (2, T, sub, 128) for a state whose
+    trailing dims are (sub, 128)."""
+    small = jnp.asarray(_tw_pack(N, sign, dtype_str))
+    T = small.shape[1]
+    tw = jnp.broadcast_to(small[:, :, None, None], (2, T, sub, _LANE))
+    spec = _bspec((2, T, sub, _LANE), lambda *g: (0, 0, 0, 0),
+                  memory_space=pltpu.VMEM)
+    return tw, spec
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('sign', 'interpret', 'scale'))
+def _dispatch_plane_large(p, sign, interpret, scale):
+    shape = p.shape[1:]
+    N1, N2 = shape[-2], shape[-1]
+    pre = int(np.prod(shape[:-2], dtype=np.int64))
+    dtype_str = np.dtype(p.dtype).name
+    tw2, tw2_spec = _plane_tw(N2, sign, dtype_str, N1 // _LANE)
+    tw1, tw1_spec = _plane_tw(N1, sign, dtype_str, N2 // _LANE)
+    x = p.reshape(2, pre, N1, N2)
+    # VMEM: in/out blocks (2 x 8 MB, aliased) + ~4 live states + twiddles
+    out = pl.pallas_call(
+        functools.partial(_kern_plane_large, N1=N1, N2=N2, sign=sign,
+                          scale=scale),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(pre,),
+        in_specs=[_bspec((2, 1, N1, N2), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+                  tw2_spec, tw1_spec],
+        out_specs=_bspec((2, 1, N1, N2), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        input_output_aliases=_alias() if not interpret else {},
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 2 ** 20),
+        interpret=interpret,
+    )(x, tw2, tw1)
+    return out.reshape(p.shape)
+
+
+def fft_plane_large_p(p, forward=True, interpret=None, scale=None):
+    """Planar c2c FFT over BOTH of the last two axes of (2, ...) data in a
+    single fused full-plane kernel (2 HBM passes for both axes).  Requires
+    ``supported_plane_large(p.shape[1:], p.dtype)``.  Unnormalized unless
+    ``scale`` is given (applied in-VMEM in the final stage)."""
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    sign = -1 if forward else +1
+    return _dispatch_plane_large(p, sign, interpret,
+                                 None if scale is None else float(scale))
 
 
 # ---------------------------------------------------------------------------

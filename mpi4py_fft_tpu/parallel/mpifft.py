@@ -17,12 +17,49 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.sharding import PartitionSpec
+
+try:                                # jax >= 0.4.35 spelling
+    from jax import shard_map as _shard_map
+except ImportError:                 # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+
+def shmap(f, mesh, in_specs, out_specs):
+    """shard_map with varying-mesh-axes checking off: pallas_call carries
+    no vma metadata, so the per-shard kernel path requires it disabled
+    (kwarg spelling differs across jax versions)."""
+    try:
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=False)
+    except TypeError:               # pragma: no cover - older jax
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_rep=False)
+
 
 from ..libfft import FFT
 from .pencil import Pencil, Subcomm
 from .comm import DeviceComm, COMM_WORLD
 
 __all__ = ['PFFT', 'Transform']
+
+
+def _slice_ax(p, ax, n):
+    """Slice axis ``ax`` down to extent ``n`` (no-op when equal)."""
+    if p.shape[ax] > n:
+        sl = [slice(None)] * p.ndim
+        sl[ax] = slice(0, n)
+        return p[tuple(sl)]
+    return p
+
+
+def _pad_ax(p, ax, n):
+    """Zero-pad axis ``ax`` up to extent ``n`` (no-op when equal)."""
+    if n > p.shape[ax]:
+        pad = [(0, 0)] * p.ndim
+        pad[ax] = (0, n - p.shape[ax])
+        return jnp.pad(p, pad)
+    return p
 
 
 def _host_value(y):
@@ -69,9 +106,14 @@ class Transform(object):
 
     def __init__(self, pfft, stages, reshards, pencils, in_shape, in_dtype,
                  out_shape, out_dtype, default_normalize, host_mode,
-                 stage_pencils=None, planars=None):
+                 stage_pencils=None, planars=None, executor='gspmd',
+                 shmap_plan=None):
         assert len(stages) == len(reshards) + 1 and len(pencils) == 2
+        assert executor in ('gspmd', 'shard_map')
+        assert executor == 'gspmd' or shmap_plan is not None
         self._pfft = pfft
+        self._executor = executor
+        self._shmap_plan = shmap_plan
         self._stages = tuple(stages)
         self._reshards = tuple(reshards)
         self._pencil = tuple(pencils)
@@ -105,6 +147,71 @@ class Transform(object):
 
     # -- pure pipeline (pipeline form: complex data is planar) -------------
     def _impl(self, x, normalize):
+        """Executor dispatch: 'shard_map' is the multi-device production
+        path (explicit lax.all_to_all transposes + per-shard kernels, the
+        single-production-path property of reference mpifft.py:308-347);
+        'gspmd' traces one global program with sharding constraints."""
+        if self._executor == 'shard_map':
+            return self._impl_shmap(x, normalize)
+        return self._impl_gspmd(x, normalize)
+
+    def _impl_shmap(self, x, normalize):
+        """Per-shard executor.  Every axis travels at a *padded* extent
+        (per-axis lcm of every device-group size that shards it anywhere in
+        the pencil chain, exact zero tail rows); each stage slices its
+        aligned transform axes back to the true extent, transforms, and
+        re-pads — so every tiled all_to_all moves evenly divisible extents
+        and the Pallas kernels see uniform per-shard shapes.  Same
+        construction as PlanarPFFT's executor (parallel/planar.py), here
+        generalized to the full PFFT feature matrix (collapse groups, r2r
+        dicts, dealiasing padding, r2c fixups)."""
+        plan = self._shmap_plan
+        pl = self._planars
+        r0, rN = int(pl[0]), int(pl[-1])
+        for i, npad in enumerate(plan['in_pad']):
+            x = _pad_ax(x, r0 + i, npad)
+        in_spec = PartitionSpec(*([None] * r0),
+                                *[c.name for c in self._pencil[0].subcomm])
+        out_spec = PartitionSpec(*([None] * rN),
+                                 *[c.name for c in self._pencil[1].subcomm])
+        f = shmap(lambda q: self._shmap_local(q, normalize),
+                  mesh=plan['mesh'], in_specs=(in_spec,),
+                  out_specs=out_spec)
+        y = f(x)
+        # boundary slice back to the user contract (no-op for production
+        # shapes; uneven extents pay one gather here, never in the
+        # pipeline's transposes)
+        for i, ntrue in enumerate(plan['out_true']):
+            y = _slice_ax(y, rN + i, ntrue)
+        return y
+
+    def _shmap_local(self, q, normalize):
+        """The per-shard program (body of the shard_map executor)."""
+        from ..ops import matfft
+        plan = self._shmap_plan
+        pl = self._planars
+        # local_dispatch: kernel gates decide on the LOCAL shard shapes
+        # (the global device-count gate does not apply inside shard_map)
+        with matfft.local_dispatch():
+            for i, stage in enumerate(self._stages):
+                rin = int(pl[i])
+                if i > 0:
+                    g, axA, axB = plan['a2a'][i - 1]
+                    if g is not None:
+                        with jax.named_scope(f"pfft_a2a{i - 1}"):
+                            q = lax.all_to_all(
+                                q, g, split_axis=rin + axA,
+                                concat_axis=rin + axB, tiled=True)
+                with jax.named_scope(f"pfft_stage{i}"):
+                    for ax, n in plan['slices'][i]:
+                        q = _slice_ax(q, rin + ax, n)
+                    q = stage(q, normalize)
+                    rout = int(pl[i + 1])
+                    for ax, n in plan['pads'][i]:
+                        q = _pad_ax(q, rout + ax, n)
+        return q
+
+    def _impl_gspmd(self, x, normalize):
         pl = self._planars
         x = self._pencil[0].constrain(x, rank=int(pl[0]))
         with jax.named_scope("pfft_stage0"):
@@ -276,6 +383,7 @@ class PFFT(object):
     def __init__(self, comm=None, shape=None, axes=None, dtype=float,
                  grid=None, padding=False, collapse=False, backend='jax',
                  transforms=None, darray=None, **kw):
+        self._executor_req = kw.pop('executor', None)
         if shape is None:
             assert darray is not None
             shape = darray.pencil.shape
@@ -428,6 +536,31 @@ class PFFT(object):
         in_dtype = self.xfftn[0].forward.input_array.dtype
         out_dtype = self.xfftn[-1].forward.output_array.dtype
 
+        # ---- executor selection (multi-device production path) ----------
+        # 'shard_map' writes the per-shard program with explicit tiled
+        # lax.all_to_all transposes — required for multi-chip Pallas
+        # kernels (GSPMD cannot partition a pallas_call) and deterministic
+        # collective placement; 'gspmd' traces one global program and lets
+        # GSPMD infer collectives from sharding constraints.  'auto' uses
+        # shard_map whenever the mesh is multi-device, matching the single
+        # production path of the reference (mpifft.py:308-347).
+        executor = self._executor_req
+        if executor is None:
+            import os as _os
+            executor = _os.environ.get('MPI4PY_FFT_TPU_EXECUTOR', 'auto')
+        assert executor in ('auto', 'gspmd', 'shard_map'), executor
+        nmesh = 1 if self._mesh is None else \
+            int(np.prod(self._mesh.devices.shape))
+        shmap_ok = (not host_mode) and nmesh > 1
+        if executor == 'auto':
+            executor = 'shard_map' if shmap_ok else 'gspmd'
+        elif executor == 'shard_map' and not shmap_ok:
+            executor = 'gspmd'
+        self.executor = executor
+        fwd_plan = bwd_plan = None
+        if executor == 'shard_map':
+            fwd_plan, bwd_plan = self._build_shmap_plans()
+
         if host_mode:
             fwd_stages = [o.forward_fn for o in self.xfftn]
             bck_stages = [o.backward_fn for o in self.xfftn[::-1]]
@@ -447,7 +580,7 @@ class PFFT(object):
             self, fwd_stages, fwd_reshards, self.pencil,
             self._input_shape, in_dtype, self._output_shape, out_dtype,
             default_normalize=True, host_mode=host_mode,
-            planars=fwd_planars)
+            planars=fwd_planars, executor=executor, shmap_plan=fwd_plan)
 
         # backward reshards: undo each forward rotation, in reverse order
         bck_reshards = [t.backward_fn for t in self.transfer[::-1]]
@@ -455,7 +588,60 @@ class PFFT(object):
             self, bck_stages, bck_reshards, self.pencil[::-1],
             self._output_shape, out_dtype, self._input_shape, in_dtype,
             default_normalize=False, host_mode=host_mode,
-            planars=bck_planars)
+            planars=bck_planars, executor=executor, shmap_plan=bwd_plan)
+
+    # ---- shard_map executor plan ----------------------------------------
+    def _build_shmap_plans(self):
+        """Static per-shard execution plans for both directions.
+
+        Per-axis padded extents: every axis is rounded up to the lcm of
+        every device-group size that shards it anywhere in the pencil
+        chain, so uniform per-shard programs and pure tiled all_to_all
+        transposes cover non-divisible (reference 12/13-style) extents
+        too.  Pad rows are exact zeros at the tail; each stage slices its
+        aligned transform axes back to the true extent first, so the math
+        is exact.  Equal to the true extents for all production
+        (power-of-two) shapes."""
+        ndim = len(self._input_shape)
+        qs = [1] * ndim
+        pens = list(self.pencil) + list(self._stage_in_pencils)
+        for t in self.transfer:
+            pens += [t.pencilA, t.pencilB]
+        for pen in pens:
+            for j, c in enumerate(pen.subcomm):
+                qs[j] = int(np.lcm(qs[j], c.Get_size()))
+        self._axis_lcm = tuple(qs)
+
+        def padded(shape):
+            return tuple(-(-int(n) // q) * q for n, q in zip(shape, qs))
+
+        def stage_plan(objs, attr):
+            slices, pads = [], []
+            for o in objs:
+                wrap = getattr(o, attr)       # .forward or .backward
+                tin = tuple(wrap.input_array.shape)
+                tout = tuple(wrap.output_array.shape)
+                pin, pout = padded(tin), padded(tout)
+                slices.append(tuple((ax, tin[ax]) for ax in o.axes
+                                    if pin[ax] != tin[ax]))
+                pads.append(tuple((ax, pout[ax]) for ax in o.axes
+                                  if pout[ax] != tout[ax]))
+            return slices, pads
+
+        fwd_slices, fwd_pads = stage_plan(self.xfftn, 'forward')
+        bck_slices, bck_pads = stage_plan(self.xfftn[::-1], 'backward')
+        fwd_a2a = [(t.pencilA.subcomm[t.pencilB.axis].name,
+                    t.pencilA.axis, t.pencilB.axis) for t in self.transfer]
+        bwd_a2a = [(g, axB, axA) for (g, axA, axB) in reversed(fwd_a2a)]
+        fwd_plan = dict(mesh=self._mesh,
+                        in_pad=padded(self._input_shape),
+                        out_true=self._output_shape,
+                        slices=fwd_slices, pads=fwd_pads, a2a=fwd_a2a)
+        bwd_plan = dict(mesh=self._mesh,
+                        in_pad=padded(self._output_shape),
+                        out_true=self._input_shape,
+                        slices=bck_slices, pads=bck_pads, a2a=bwd_a2a)
+        return fwd_plan, bwd_plan
 
     # ---- reference API (reference: mpifft.py:349-419) -------------------
     def destroy(self):

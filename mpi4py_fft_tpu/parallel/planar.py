@@ -24,10 +24,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec
 
-try:                                # jax >= 0.4.35 spelling
-    from jax import shard_map as _shard_map
-except ImportError:                 # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map as _shard_map
+from .mpifft import shmap as _checkfree_shard_map
 
 from ..ops import matfft
 from .pencil import Pencil, Subcomm
@@ -368,10 +365,10 @@ class PlanarPFFT(object):
     def _forward_shmap(self, x, normalize):
         off = 0 if self.real_transform else 1
         x = self._pad_axes(x, self._phys_pad_shape, off)
-        f = _shard_map(lambda q: self._forward_local(q, normalize),
-                       mesh=self.subcomm.mesh,
-                       in_specs=(self._phys_spec(),),
-                       out_specs=self._spec_spec())
+        f = _checkfree_shard_map(lambda q: self._forward_local(q, normalize),
+                                 mesh=self.subcomm.mesh,
+                                 in_specs=(self._phys_spec(),),
+                                 out_specs=self._spec_spec())
         p = f(x)
         # boundary slice back to the user contract (no-op for production
         # shapes; for uneven extents GSPMD pays one gather here, never in
@@ -380,10 +377,10 @@ class PlanarPFFT(object):
 
     def _backward_shmap(self, p, normalize):
         p = self._pad_axes(p, self._spec_pad_shape, 1)
-        f = _shard_map(lambda q: self._backward_local(q, normalize),
-                       mesh=self.subcomm.mesh,
-                       in_specs=(self._spec_spec(),),
-                       out_specs=self._phys_spec())
+        f = _checkfree_shard_map(lambda q: self._backward_local(q, normalize),
+                                 mesh=self.subcomm.mesh,
+                                 in_specs=(self._spec_spec(),),
+                                 out_specs=self._phys_spec())
         y = f(p)
         off = 0 if self.real_transform else 1
         return self._slice_axes(y, self._input_shape, off)
