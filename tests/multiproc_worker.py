@@ -63,6 +63,37 @@ uj = fft.backward(u_hat)
 check(np.allclose(np.asarray(uj), X, rtol=0, atol=2e-10),
       "PFFT roundtrip")
 
+# ---- uneven extents across processes (reference 12/13-style shapes) ------
+# padded at-rest shards + lcm-padded shard_map pipeline, multi-controller
+shape_u = (12, 13, 14)
+fft_u = PFFT(None, shape_u, dtype='D')
+Xu = (rng.random(shape_u) + 1j * rng.random(shape_u))
+uu = newDistArray(fft_u, False)
+uu[...] = Xu
+uu_hat = fft_u.forward(uu)
+refu = np.fft.fftn(Xu) / np.prod(shape_u)
+check(np.allclose(np.asarray(uu_hat), refu, rtol=0, atol=2e-10),
+      "uneven-extent PFFT forward matches numpy")
+uuj = fft_u.backward(uu_hat)
+check(np.allclose(np.asarray(uuj), Xu, rtol=0, atol=2e-10),
+      "uneven-extent PFFT roundtrip")
+
+# ---- PlanarPFFT shard_map executor across processes -----------------------
+# explicit tiled lax.all_to_all transposes spanning process boundaries
+from mpi4py_fft_tpu.parallel.planar import PlanarPFFT      # noqa: E402
+pp = PlanarPFFT(None, (16, 16, 16), dtype='D', executor='shard_map')
+assert pp.executor == 'shard_map'
+Xp = (rng.random((16, 16, 16)) + 1j * rng.random((16, 16, 16)))
+pin = jax.device_put(
+    np.ascontiguousarray(np.stack([Xp.real, Xp.imag])),
+    pp.pencil[0].boundary_sharding(1))
+phat = pp.forward(pin)
+from mpi4py_fft_tpu.parallel.mpifft import _host_value     # noqa: E402
+ph = _host_value(phat)
+refp = np.fft.fftn(Xp) / Xp.size
+check(np.allclose(ph[0] + 1j * ph[1], refp, rtol=0, atol=2e-10),
+      "PlanarPFFT shard_map forward matches numpy")
+
 # ---- DistArray redistribute across processes ------------------------------
 a = DistArray((8, 12, 16), alignment=0, dtype='d')
 Y = rng.random((8, 12, 16))

@@ -62,6 +62,55 @@ def test_mpifft_4d_collapse():
     fft.destroy()
 
 
+# the reference dim-4 axes window (reference: tests/test_mpifft.py:93-96)
+_AXES_4D = [None,
+            ((0,), (1,), (2,), (3,)),
+            ((0,), (1, 2, 3)),
+            ((0,), (1,), (2, 3))]
+
+
+@pytest.mark.parametrize("typecode", 'dD')
+@pytest.mark.parametrize("axes", _AXES_4D,
+                         ids=['none', 'g1111', 'g13', 'g112'])
+def test_mpifft_4d_sweep(typecode, axes):
+    """Dim-4 sweep with collapsed-group axes specs over {12,13}^4 shapes,
+    slab and pencil grids, collapse on/off (reference breadth:
+    tests/test_mpifft.py:53-137).  The slab grid is complex-only on the
+    8-device mesh: an r2c-halved {12,13} axis (extent 7) cannot carry an
+    8-device group (constraint shape[i] >= group size, the reference caps
+    its own sweep below 8 ranks for the same reason,
+    reference tests/test_mpifft.py:60)."""
+    grids = [None] if typecode == 'd' else [None, (-1,)]
+    if typecode == 'd' and axes == ((0,), (1, 2, 3)):
+        # two groups -> all 8 devices in one group, which the pencil
+        # rotation swaps onto the r2c-halved extent-7 axis: same
+        # geometric limit as the slab case above
+        pytest.skip("halved axis cannot carry an 8-device group")
+    for shape in [(12, 13, 12, 13), (13, 12, 13, 12)]:
+        for grid in grids:
+            for collapse in (False, True):
+                fft = PFFT(None, shape, axes=axes, dtype=typecode,
+                           grid=grid, collapse=collapse)
+                _roundtrip(fft)
+                fft.destroy()
+
+
+def test_mpifft_4d_r2r_transforms():
+    """4-D with custom r2r transforms dicts on trailing groups
+    (reference: tests/test_mpifft.py:98-110 DCT-III cases)."""
+    dctn = functools.partial(fftw.dctn, type=3)
+    idctn = functools.partial(fftw.idctn, type=3)
+    shape = (12, 13, 12, 13)
+    for axes, tkey in [(((0,), (1,), (2,), (3,)), (3,)),
+                       (((0,), (1,), (2, 3)), (2, 3)),
+                       (((0,), (1, 2, 3)), (1, 2, 3))]:
+        transforms = {tkey: (dctn, idctn)}
+        fft = PFFT(None, shape, axes=axes, dtype='d',
+                   transforms=transforms)
+        _roundtrip(fft)
+        fft.destroy()
+
+
 @pytest.mark.parametrize("grid", [(-1,), (2, 2), (1, -1), (2, 2, 1)])
 def test_mpifft_grids(grid):
     # extents chosen so every pencil in the chain satisfies extent >=

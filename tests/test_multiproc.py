@@ -52,6 +52,8 @@ def _run_group(nprocs, tmpdir):
         assert "ALL OK" in out, f"worker {i} incomplete:\n{out}"
 
 
-@pytest.mark.parametrize("nprocs", (2,))
+@pytest.mark.parametrize("nprocs", (2, 4))
 def test_multiproc(nprocs, tmp_path):
+    # n=2 and n=4 process groups, matching the reference's mpiexec -n 2/4
+    # sweep (reference: tests/runtests.sh:22-37)
     _run_group(nprocs, tmp_path)
