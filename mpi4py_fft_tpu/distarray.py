@@ -167,12 +167,17 @@ class DistArray(object):
                      [slice(0, n) for n in self._global_shape[self._rank:]])
 
     def _embed(self, host):
-        """True-shape host array -> padded-storage host array."""
+        """True-shape host array -> padded-storage host array (native
+        memcpy-run scatter when the _hoststage extension is built — the
+        host-side counterpart of the reference's MPI subarray datatype
+        pack engine, reference: pencil.py:12-29)."""
+        from .utils import native
         sshape = self._storage_shape()
         if sshape == host.shape:
             return np.ascontiguousarray(host)
         out = np.zeros(sshape, dtype=host.dtype)
-        out[self._valid_region()] = host
+        native.unpack_block(out, (0,) * out.ndim, host.shape,
+                            np.ascontiguousarray(host))
         return out
 
     def _set_global(self, y):
@@ -243,18 +248,21 @@ class DistArray(object):
             seen.add(sl)
             data = np.asarray(shard.data)
             # shard may carry padding rows (padded storage) or full extents
-            # (replicated axes of boundary-sharded data): keep valid rows
-            take = []
-            for i in range(self._rank):
-                take.append(slice(None))
+            # (replicated axes of boundary-sharded data): keep valid rows.
+            # Extracted with the native pack engine (memcpy runs) when the
+            # _hoststage extension is built.
+            starts = [0] * self._rank
+            subsizes = list(data.shape[:self._rank])
             for i, s in enumerate(sl[self._rank:]):
                 n = s.stop - s.start
                 if data.shape[self._rank + i] == self._global_shape[
                         self._rank + i]:
-                    take.append(s)              # replicated: full extent
+                    starts.append(s.start)      # replicated: full extent
                 else:
-                    take.append(slice(0, n))    # padded block: valid head
-            yield sl, data[tuple(take)]
+                    starts.append(0)            # padded block: valid head
+                subsizes.append(n)
+            from .utils import native
+            yield sl, native.pack_block(data, starts, subsizes)
 
     def __repr__(self):
         return (f"DistArray(shape={self.shape}, dtype={self.dtype}, "

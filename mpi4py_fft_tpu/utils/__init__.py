@@ -33,11 +33,18 @@ def aligned(shape, n=32, dtype=np.dtype('d'), fill=None):
     arrays are laid out by XLA.
     """
     dtype = np.dtype(dtype)
-    M = int(np.prod(shape)) * dtype.itemsize
-    a = np.empty(M + n, dtype=np.uint8)
-    offset = a.ctypes.data % n
-    offset = 0 if offset == 0 else (n - offset)
-    b = np.frombuffer(a[offset:(offset + M)].data, dtype=dtype).reshape(shape)
+    from . import native
+    if native.HAVE_NATIVE:
+        # posix_memalign-backed storage (native/hoststage.cpp) — exact
+        # alignment without the over-allocate-and-offset trick
+        b = native.aligned_native(shape, dtype=dtype, alignment=max(n, 8))
+    else:
+        M = int(np.prod(shape)) * dtype.itemsize
+        a = np.empty(M + n, dtype=np.uint8)
+        offset = a.ctypes.data % n
+        offset = 0 if offset == 0 else (n - offset)
+        b = np.frombuffer(a[offset:(offset + M)].data,
+                          dtype=dtype).reshape(shape)
     if fill is not None:
         assert isinstance(fill, int)
         b[...] = fill

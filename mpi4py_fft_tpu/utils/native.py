@@ -46,10 +46,19 @@ def _check_bounds(shape, starts, subsizes):
                 f"block [{s}:{s + c}] out of range for axis {i} (extent {n})")
 
 
+def _writable_contig(a):
+    """C-contiguous, writable view/copy (the extension's buffer parsing
+    requires read-write byte buffers even for sources)."""
+    a = np.ascontiguousarray(a)
+    if not a.flags.writeable:
+        a = a.copy()
+    return a
+
+
 def pack_block(full, starts, subsizes, out=None):
     """Pack the block ``full[starts:starts+subsizes]`` into a contiguous
     buffer, bit-exactly (pure memcpy of runs)."""
-    full = np.ascontiguousarray(full)
+    full = _writable_contig(full)
     subsizes = tuple(int(s) for s in subsizes)
     starts = tuple(int(s) for s in starts)
     _check_bounds(full.shape, starts, subsizes)
@@ -71,7 +80,7 @@ def unpack_block(full, starts, subsizes, packed):
     subsizes = tuple(int(s) for s in subsizes)
     starts = tuple(int(s) for s in starts)
     _check_bounds(full.shape, starts, subsizes)
-    packed = np.ascontiguousarray(packed)
+    packed = _writable_contig(packed)
     if not HAVE_NATIVE:
         sl = tuple(slice(s, s + n) for s, n in zip(starts, subsizes))
         full[sl] = packed.reshape(subsizes)
