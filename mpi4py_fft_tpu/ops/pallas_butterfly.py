@@ -81,6 +81,21 @@ def _last_variant(N):
     if _LAST_VARIANT == 'auto':
         return '2' if N >= 512 else '1'
     return _LAST_VARIANT
+# wide (multi-lane-tile) blocks for the lead/mid axis kernels: HBM
+# chunks of W/128 adjacent lane tiles (8 KB at W=256) instead of 4 KB.
+# A/B'd OFF on v5e: although a pure COPY at (2,N,8,256) runs 652 vs
+# 602 GB/s (scripts/tpu_blockshape_probe.py), the butterfly at wide
+# blocks REGRESSED (mid 29.5 -> 35.2 ms, lead 27.4 -> 31.9 ms at
+# 1024^3) — the per-128-lane-half butterfly loop defeats DMA/compute
+# overlap.  'auto' (= off today) keeps the door open; 'on' forces wide.
+_WIDE = _os.environ.get('MPI4PY_FFT_TPU_WIDE', 'auto')
+_WIDE_W = 2 * _LANE
+
+
+def _wide_ok(post):
+    return _WIDE == 'on' and post % _WIDE_W == 0
+
+
 # in-place HBM update: alias each c2c axis pass's input buffer to its
 # output (the block index maps are identity, so every grid step reads and
 # writes the same HBM block).  In a fused pipeline whose intermediates
@@ -138,11 +153,46 @@ def _is_pow2(n):
     return n >= 2 and (n & (n - 1)) == 0
 
 
+# Stockham stage-radix plan override, e.g. '8,8,16' (must multiply to N).
+# The in-kernel cost is dominated by full-state VMEM sweeps — one per
+# stage — so higher radices (an in-register R-point DFT per group) cut
+# sweeps at slightly more arithmetic per element.  A/B'd on hardware via
+# scripts/tpu_radix_ab.py; defaults below encode the winners.
+_STAGE_PLAN_ENV = _os.environ.get('MPI4PY_FFT_TPU_STAGE_PLAN', '')
+
+
 @functools.lru_cache(maxsize=None)
 def _stage_plan(N):
-    """Radices per Stockham stage: radix-4 throughout, with one leading
-    radix-2 when log2(N) is odd.  Fewer stages = fewer full-state VMEM
-    round-trips (the dominant in-kernel cost)."""
+    """Radices per Stockham stage (each a power of two <= 32)."""
+    if _STAGE_PLAN_ENV:
+        plan = tuple(int(t) for t in _STAGE_PLAN_ENV.split(','))
+        if int(np.prod(plan)) == N and all(_is_pow2(r) for r in plan):
+            return plan
+    return _default_plan(N)
+
+
+def _default_plan(N):
+    """Measured-default stage plan: radix-16 stages with one small
+    remainder stage LAST.
+
+    v5e slope-fitted per-pass A/B (scripts/tpu_radix_ab.py): mid-axis
+    pass 31.9 ms (4,4,4,4,4) -> 29.2/29.3 ms (8,8,16 / 16,16,4) at
+    1024^3; 3.60 -> 3.29 ms (16,16,2) at 512^3.  Stage order matters:
+    the same radix multiset ordered big-first-with-8s (16,8,8)
+    REGRESSED to 35.4 ms — keep the small remainder stage last.
+    Radix-32 (32,32: 31.1 ms) also loses.  At N <= 256 the relation
+    FLIPS: (4,4,4,4) 0.411 ms vs (16,16) 0.512 at 256^3 — short
+    transforms are DMA-bound and radix-16's extra in-register
+    arithmetic only hurts, so the 16-plans apply at N >= 512 only."""
+    if N >= 512:
+        plan = []
+        L = N
+        while L >= 16:
+            plan.append(16)
+            L //= 16
+        if L > 1:
+            plan.append(L)
+        return tuple(plan)
     plan = []
     L = N
     if (L.bit_length() - 1) % 2:
@@ -201,6 +251,36 @@ def _tw_pack(N, sign, dtype_str):
     return np.stack([cr, ci]).astype(dtype_str)
 
 
+def _dft_slabs(qs, sign):
+    """R-point DFT across a list of (re, im) slab pairs, computed as a
+    recursive radix-2 Cooley-Tukey network whose twiddles are Python
+    float constants — the whole R-point transform runs between two
+    full-state materializations (one VMEM sweep instead of log2(R))."""
+    import math
+    R = len(qs)
+    if R == 1:
+        return qs
+    ev = _dft_slabs(qs[0::2], sign)
+    od = _dft_slabs(qs[1::2], sign)
+    H = R // 2
+    out = [None] * R
+    for k in range(H):
+        er, ei = ev[k]
+        orr, oi = od[k]
+        if k == 0:                      # w = 1
+            tr, ti = orr, oi
+        elif 4 * k == R:                # w = exp(sign*i*pi/2)
+            tr, ti = -sign * oi, sign * orr
+        else:
+            ang = sign * 2.0 * math.pi * k / R
+            wr, wi = math.cos(ang), math.sin(ang)
+            tr = orr * wr - oi * wi
+            ti = orr * wi + oi * wr
+        out[k] = (er + tr, ei + ti)
+        out[k + H] = (er - tr, ei - ti)
+    return out
+
+
 def _butterfly(xr, xi, tw_ref, N, sign, scale=None):
     """Stockham mixed radix-4/2 over the leading axis of (N, 8, 128)
     pairs.  Sub-transform j of an (L, M) state computes frequencies
@@ -228,6 +308,23 @@ def _butterfly(xr, xi, tw_ref, N, sign, scale=None):
                 ti = dr * twi + di * twr
             xr = jnp.concatenate([sr, tr], axis=1)
             xi = jnp.concatenate([si, ti], axis=1)
+        elif r >= 8:
+            qs = [(xr[j * Lq:(j + 1) * Lq], xi[j * Lq:(j + 1) * Lq])
+                  for j in range(r)]
+            ys = _dft_slabs(qs, sign)
+            outs_r, outs_i = [ys[0][0]], [ys[0][1]]
+            for k in range(1, r):
+                yr, yi = ys[k]
+                if L == r:              # final stage of this length: w = 1
+                    outs_r.append(yr)
+                    outs_i.append(yi)
+                else:
+                    wr = tw_ref[0, off + (k - 1) * Lq:off + k * Lq][:, None]
+                    wi = tw_ref[1, off + (k - 1) * Lq:off + k * Lq][:, None]
+                    outs_r.append(yr * wr - yi * wi)
+                    outs_i.append(yr * wi + yi * wr)
+            xr = jnp.concatenate(outs_r, axis=1)
+            xi = jnp.concatenate(outs_i, axis=1)
         else:
             q0r, q1r = xr[:Lq], xr[Lq:2 * Lq]
             q2r, q3r = xr[2 * Lq:3 * Lq], xr[3 * Lq:]
@@ -282,6 +379,34 @@ def _kern_mid(x_ref, tw_ref, o_ref, *, N, sign, scale):
     r, i = _butterfly(xr, xi, tw_ref, N, sign, scale)
     o_ref[0] = jnp.transpose(r, (1, 0, 2))
     o_ref[1] = jnp.transpose(i, (1, 0, 2))
+
+
+def _kern_mid_w(x_ref, tw_ref, o_ref, *, N, sign, scale):
+    """Wide-block mid-axis variant: block (2, 8, N, W) with W a multiple
+    of 128 — two adjacent lane tiles per HBM chunk (8 KB, measured 652
+    vs 602 GB/s copy at 4 KB, scripts/tpu_blockshape_probe.py).  The
+    butterfly runs per 128-lane half so the live state stays (N, 8, 128)
+    and the VMEM budget is unchanged."""
+    W = x_ref.shape[3]
+    for c in range(W // _LANE):
+        sl = slice(c * _LANE, (c + 1) * _LANE)
+        xr = jnp.transpose(x_ref[0, :, :, sl], (1, 0, 2))
+        xi = jnp.transpose(x_ref[1, :, :, sl], (1, 0, 2))
+        r, i = _butterfly(xr, xi, tw_ref, N, sign, scale)
+        o_ref[0, :, :, sl] = jnp.transpose(r, (1, 0, 2))
+        o_ref[1, :, :, sl] = jnp.transpose(i, (1, 0, 2))
+
+
+def _kern_lead_w(x_ref, tw_ref, o_ref, *, N, sign, scale):
+    """Wide-block lead-axis variant: block (2, N, 8, W), W = k*128; one
+    butterfly per 128-lane half (see _kern_mid_w)."""
+    W = x_ref.shape[3]
+    for c in range(W // _LANE):
+        sl = slice(c * _LANE, (c + 1) * _LANE)
+        r, i = _butterfly(x_ref[0, :, :, sl], x_ref[1, :, :, sl],
+                          tw_ref, N, sign, scale)
+        o_ref[0, :, :, sl] = r
+        o_ref[1, :, :, sl] = i
 
 
 def _kern_last(x_ref, tw_ref, o_ref, *, N, sign, scale):
@@ -397,6 +522,15 @@ def _dispatch(p, axis, sign, interpret, scale):
     elif pre == 1:
         if (N > _MAX_N and p.ndim == 4 and p.shape[3] % _LANE == 0
                 and p.shape[2] % _SUB == 0):
+            if _wide_ok(p.shape[3]):
+                out = _pcall(
+                    functools.partial(_kern_lead_w, N=N, sign=sign,
+                                      scale=scale),
+                    p, tw, (2, N, _SUB, _WIDE_W),
+                    lambda i, j: (0, 0, i, j),
+                    tw_spec, (p.shape[2] // _SUB, p.shape[3] // _WIDE_W),
+                    N, interpret)
+                return out
             # long-N: (2, N, 8, 128) blocks over the NATIVE 4-D shape
             # (2-D grid) instead of reshaping to (2, N, post//128, 128)
             # outside — that reshape splits the lane dim, which under TPU
@@ -442,6 +576,14 @@ def _dispatch(p, axis, sign, interpret, scale):
                 x, tw, (2, N, Q), lambda i: (0, 0, i),
                 tw_spec, (_cdiv(post, Q),), N, interpret)
             return out.reshape(p.shape)
+        if _wide_ok(post) and (post // _WIDE_W) % _SUB == 0:
+            x = p.reshape(2, N, post // _WIDE_W, _WIDE_W)
+            out = _pcall(
+                functools.partial(_kern_lead_w, N=N, sign=sign,
+                                  scale=scale),
+                x, tw, (2, N, _SUB, _WIDE_W), lambda i: (0, 0, i, 0),
+                tw_spec, (post // (_SUB * _WIDE_W),), N, interpret)
+            return out.reshape(p.shape)
         x = p.reshape(2, N, post // _LANE, _LANE)
         out = _pcall(
             functools.partial(_kern_lead, N=N, sign=sign, scale=scale),
@@ -449,6 +591,13 @@ def _dispatch(p, axis, sign, interpret, scale):
             tw_spec, (_cdiv(post // _LANE, _SUB),), N, interpret)
     else:
         x = p.reshape(2, pre, N, post)
+        if _wide_ok(post):
+            out = _pcall(
+                functools.partial(_kern_mid_w, N=N, sign=sign,
+                                  scale=scale),
+                x, tw, (2, _SUB, N, _WIDE_W), lambda i, j: (0, i, 0, j),
+                tw_spec, (pre // _SUB, post // _WIDE_W), N, interpret)
+            return out.reshape(p.shape)
         out = _pcall(
             functools.partial(_kern_mid, N=N, sign=sign, scale=scale),
             x, tw, (2, _SUB, N, _LANE), lambda i, j: (0, i, 0, j),
@@ -586,16 +735,26 @@ def fft_plane_p(p, forward=True, interpret=None, scale=None):
 #
 # The T-packed plane kernel above (supported_plane) targets small axes
 # (N <= 256) and lost its A/B on hardware.  At the north-star size the
-# economics flip: a full (1024, 1024) planar plane is 8 MB — ONE block in
-# VMEM — and fusing the last two axes cuts a 3-D transform from 6 HBM
-# passes to 4.  Measured on v5e (scripts/tpu_r3_profile.py): the
-# individual axis kernels run at ~540-610 GB/s effective, and the fused
-# 3-axis pipeline equals their sum exactly, so pass-count is the only
-# remaining lever.  In-kernel moves are all from the probed-legal set:
-# 2-D swapaxes, lane splits/merges.  Blocks are same-shaped in/out, so
-# in-place HBM aliasing (required to fit 1024^3) still applies.
-# Role of the fused multidim guru plan: reference
+# economics looked better: a full (1024, 1024) planar plane is 8 MB —
+# ONE block in VMEM — and fusing the last two axes cuts a 3-D transform
+# from 3 HBM round-trips to 2.  In-kernel moves are all from the
+# probed-legal set: 2-D swapaxes, lane splits/merges.  Blocks are
+# same-shaped in/out, so in-place HBM aliasing (required to fit 1024^3)
+# still applies.  Role of the fused multidim guru plan: reference
 # mpi4py_fft/fftw/fftw_planxfftn.c:10-40 (ranks[] loop).
+#
+# MEASURED VERDICT (v5e, scripts/tpu_slope_probe.py +
+# scripts/tpu_radix_ab.py, round 3): NOT dispatched.  A single-axis
+# butterfly pass is at the DMA/compute crossover — per 8 MB block, the
+# 10-stage butterfly costs ~27 us and the in-place HBM round-trip ~26 us
+# (copy ceiling 602-660 GB/s depending on block shape) — so a fused
+# two-axis block pays 2x butterfly + 2 in-VMEM (1024,1024) transposes
+# (~70 us total, measured 71.4 ms/pass) against a single 26 us DMA.
+# Fusing merges the DMA but SUMS the compute; with compute ~= DMA per
+# axis, 2-pass fused (~71+28 ms) loses to 3 single-axis passes
+# (~85 ms).  It could only win on a toolchain where the in-kernel
+# butterfly runs ~2x faster than HBM DMA; kept as an explicit entry
+# point for that future.
 # ---------------------------------------------------------------------------
 
 def _kern_plane_large(x_ref, tw2_ref, tw1_ref, o_ref, *, N1, N2, sign,

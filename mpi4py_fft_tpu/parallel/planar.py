@@ -497,13 +497,17 @@ class PlanarPFFT(object):
         self._check_shape(p, True)
         return self._jit_backward(p, bool(normalize))
 
-    # pure path for composition under user jit
+    # pure path for composition under user jit (shapes are static under
+    # tracing, so the same plan-shape validation as forward/backward is
+    # free here too)
     def forward_fn(self, x, normalize=True):
+        self._check_shape(x, False)
         if self.executor == 'shard_map':
             return self._forward_shmap(x, normalize)
         return self._forward_impl(x, normalize)
 
     def backward_fn(self, p, normalize=False):
+        self._check_shape(p, True)
         if self.executor == 'shard_map':
             return self._backward_shmap(p, normalize)
         return self._backward_impl(p, normalize)

@@ -36,12 +36,11 @@ def _bench(jax, fn, x, reps, tag):
     _sync(jax, y)
     for _ in range(2):
         # warmup: the first few post-compile executions pay a ~2 s
-        # one-time cost on the tunneled platform
+        # one-time cost on the tunneled platform.  Sync EACH call: two
+        # in-flight dispatches double the live intermediate set, which
+        # OOMs the padded-512^3 backward (each call holds ~4-5 GB).
         y = fn(x)
-    # drain the warmup dispatches BEFORE measuring the sync overhead
-    # (otherwise ts includes the in-flight warmup executions and the
-    # subtraction below understates per-call time; matches bench.py)
-    _sync(jax, y)
+        _sync(jax, y)
     t0 = time.perf_counter()
     _sync(jax, y)
     ts = time.perf_counter() - t0
@@ -82,6 +81,7 @@ def m3():
            / np.linalg.norm(np.asarray(uh2)))
     print(f"  padded spectral fixpoint rel err: {rel:.3e}", flush=True)
     assert rel < 1e-4, rel
+    del uh, uh3          # free HBM before timing (3.6 GB physical vols)
 
     reps = int(os.environ.get('M3_REPS', 10))
     tb = _bench(jax, bwd, uh2, reps, f"  backward (pad to {int(1.5 * n)}^3)")

@@ -104,6 +104,30 @@ def main():
           copy((2, 1, n // 2, n), lambda i, j: (0, i, j, 0),
                (n, 2)))
 
+    # out-of-place (no aliasing): measures whether the in-place r+w rate
+    # is an HBM limit or an aliasing artifact.  Needs 2 live volumes, so
+    # it only fits HBM at n <= 512 (2 x 2.15 GB).
+    if n <= 512:
+        def copy_oop(block, imap, grid):
+            def f(x):
+                return pl.pallas_call(
+                    k_copy,
+                    out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+                    grid=grid,
+                    in_specs=[pb._bspec(block, imap,
+                                        memory_space=pltpu.VMEM)],
+                    out_specs=pb._bspec(block, imap,
+                                        memory_space=pltpu.VMEM),
+                    compiler_params=pltpu.CompilerParams(
+                        vmem_limit_bytes=120 * 2 ** 20),
+                )(x)
+            return f
+        probe('OOP plane (2,1,N,N)',
+              copy_oop((2, 1, n, n), lambda i: (0, i, 0, 0), (n,)))
+        probe('OOP lead (2,N,8,128)',
+              copy_oop((2, n, 8, 128), lambda i, j: (0, 0, i, j),
+                       (n // 8, n // 128)))
+
 
 if __name__ == '__main__':
     main()
