@@ -67,19 +67,24 @@ _F64_TPU_WARNED = [False]
 
 def _prec(dtype):
     if np.dtype(dtype).itemsize == 8:
-        # honest-f64 gate: TPUs have no native f64 MXU path; x64 einsum
-        # under HIGHEST lowers to multi-pass bf16 with ~f32 accuracy
-        # (measured on chip, docs/precision.md) — far from the reference's
-        # 2e-10 f64 tolerance (tests/test_mpifft.py:17), which this
-        # package meets on the cpu backend only.
+        # honest-f64 gate: TPUs have no native f64 MXU path, so x64
+        # einsum precision is toolchain-dependent.  Measured on the
+        # current XLA:TPU toolchain it delivers genuine f64 (rel err
+        # 1.1e-14 at 64^3, scripts/tpu_f64_probe.py -> docs/
+        # precision.md); earlier toolchains lowered it to multi-pass
+        # bf16 at ~f32 accuracy.  The warning stays because precision
+        # is not contractual here — run the probe on your toolchain;
+        # reference-grade f64 at speed remains the cpu backend.
         import jax
         if not _F64_TPU_WARNED[0] and jax.default_backend() == 'tpu':
             _F64_TPU_WARNED[0] = True
             import warnings
             warnings.warn(
-                "f64 transforms on TPU run as multi-pass bf16 einsum "
-                "(~f32 accuracy, see docs/precision.md); for reference-"
-                "grade f64 (2e-10) use the cpu backend", stacklevel=3)
+                "f64 transforms on TPU use the (slow) x64 einsum "
+                "engine; precision is toolchain-dependent — measured "
+                "1.1e-14 here, but verify with scripts/tpu_f64_probe.py "
+                "(docs/precision.md); for reference-grade f64 at speed "
+                "use the cpu backend", stacklevel=3)
         return _lax.Precision.HIGHEST
     return _PRECISION
 

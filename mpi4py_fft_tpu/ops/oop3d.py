@@ -1,0 +1,84 @@
+"""Quartered out-of-place 3-D c2c transform — the chip-filling schedule.
+
+In-place (input-aliased) butterfly passes run at 579-661 GB/s r+w on
+v5e; out-of-place passes run at 836-1019 GB/s (scripts/tpu_vpu_probe.py,
+scripts/tpu_blockshape_probe.py).  A full OOP pass needs input + output
+volumes live at once — 17.2 GB at 1024^3 planar f32, over the ~16 GB
+HBM — so chip-filling volumes were forced onto the slow aliased path.
+
+This module stores the volume as FOUR quarters, split along the first
+(x) and last (z) complex axes:
+
+    Q[i][j] = volume[:, i*X/2:(i+1)*X/2, :, j*Z/2:(j+1)*Z/2]
+
+and runs every axis pass out-of-place:
+
+    y pass (mid):  per quarter,  fft_axis_p       (axis fully local)
+    x pass (lead): per z-half,   fft_axis2_p pair (x split across i)
+    z pass (last): per x-half,   fft_axis2_p pair (z split across j)
+
+Peak HBM = 4 quarters + 2 outputs in flight = 1.5 volumes (12.9 GB at
+1024^3); XLA's buffer assignment retires each input quarter when its
+pass completes.  The state stays quartered across chained transforms
+(forward/backward solver loops) — split/assemble only at the
+boundaries.  Role: the OOP analogue of FFTW's DESTROY_INPUT plans
+(reference mpi4py_fft/fftw/utilities.pyx:28-37) for volumes where
+aliasing is the bandwidth bottleneck.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from . import pallas_butterfly as pb
+
+__all__ = ['supported_q', 'split_q', 'assemble_q', 'fft3_q']
+
+
+def supported_q(shape, dtype):
+    """True if ``fft3_q`` supports a planar volume of complex shape
+    ``shape`` (3-D, no planar dim) for this dtype."""
+    if len(shape) != 3 or np.dtype(dtype) != np.float32:
+        return False
+    X, Y, Z = shape
+    if X % 2 or Z % 2:
+        return False
+    q = (X // 2, Y, Z // 2)
+    return (pb.supported_axis(q, 1, dtype)
+            and pb.supported_axis_split(q, 0, dtype)
+            and pb.supported_axis_split(q, 2, dtype))
+
+
+def split_q(p):
+    """Planar volume (2, X, Y, Z) -> tuple of 4 quarters Q[i][j]."""
+    X, Z = p.shape[1], p.shape[3]
+    hx, hz = X // 2, Z // 2
+    return tuple(p[:, i * hx:(i + 1) * hx, :, j * hz:(j + 1) * hz]
+                 for i in (0, 1) for j in (0, 1))
+
+
+def assemble_q(qs):
+    """Inverse of ``split_q``."""
+    q00, q01, q10, q11 = qs
+    top = jnp.concatenate([q00, q01], axis=3)
+    bot = jnp.concatenate([q10, q11], axis=3)
+    return jnp.concatenate([top, bot], axis=1)
+
+
+def fft3_q(qs, forward=True, scale=None, interpret=None):
+    """3-D c2c transform of a quartered planar volume; returns the
+    transformed quarters.  ``scale`` (if given) is folded into the final
+    pass in-VMEM."""
+    q00, q01, q10, q11 = qs
+    # y pass (mid axis, fully local to each quarter)
+    q00 = pb.fft_axis_p(q00, 1, forward, interpret=interpret)
+    q01 = pb.fft_axis_p(q01, 1, forward, interpret=interpret)
+    q10 = pb.fft_axis_p(q10, 1, forward, interpret=interpret)
+    q11 = pb.fft_axis_p(q11, 1, forward, interpret=interpret)
+    # x pass (lead axis, split across the i halves)
+    q00, q10 = pb.fft_axis2_p(q00, q10, 0, forward, interpret=interpret)
+    q01, q11 = pb.fft_axis2_p(q01, q11, 0, forward, interpret=interpret)
+    # z pass (last axis, split across the j halves; fold normalization)
+    q00, q01 = pb.fft_axis2_p(q00, q01, 2, forward, interpret=interpret,
+                              scale=scale)
+    q10, q11 = pb.fft_axis2_p(q10, q11, 2, forward, interpret=interpret,
+                              scale=scale)
+    return (q00, q01, q10, q11)

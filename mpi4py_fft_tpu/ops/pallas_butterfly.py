@@ -102,11 +102,25 @@ def _wide_ok(post):
 # are dead after use this halves the live-volume count — required for
 # 1024^3 (two 8.6 GB planar volumes exceed the 15.75 GB HBM).  XLA
 # inserts a protective copy iff the caller's input is still live.
-_INPLACE = _os.environ.get('MPI4PY_FFT_TPU_INPLACE', 'on') == 'on'
+#
+# BUT aliasing costs ~30% HBM bandwidth: measured on v5e, an OOP
+# butterfly pass runs 836 GB/s r+w vs 579 in-place at 512^3, and OOP
+# copies hit 903-1019 GB/s vs 602-661 aliased
+# (scripts/tpu_vpu_probe.py, scripts/tpu_blockshape_probe.py).  So
+# 'on' (default) aliases ONLY volumes big enough that an out-of-place
+# ping-pong pair would threaten the ~16 GB HBM; smaller passes run
+# out-of-place at the fast rate.  'force' always aliases, 'off' never.
+_INPLACE = _os.environ.get('MPI4PY_FFT_TPU_INPLACE', 'on')
+_INPLACE_MIN = float(_os.environ.get('MPI4PY_FFT_TPU_INPLACE_MIN_GB',
+                                     '4.0')) * 1e9
 
 
-def _alias():
-    return {0: 0} if _INPLACE else {}
+def _alias(nbytes=None):
+    if _INPLACE == 'off':
+        return {}
+    if _INPLACE == 'force' or nbytes is None:
+        return {0: 0}
+    return {0: 0} if nbytes >= _INPLACE_MIN else {}
 
 
 def _cparams(N, mb=None):
@@ -132,7 +146,8 @@ def _pcall(kern, x, tw, block, imap, tw_spec, grid, N, interpret, mb=None):
         grid=grid,
         in_specs=[_bspec(block, imap, memory_space=pltpu.VMEM), tw_spec],
         out_specs=_bspec(block, imap, memory_space=pltpu.VMEM),
-        input_output_aliases=_alias() if not interpret else {},
+        input_output_aliases=_alias(x.size * x.dtype.itemsize)
+        if not interpret else {},
         interpret=interpret,
         **kw,
     )(x, tw)
@@ -153,6 +168,16 @@ def _is_pow2(n):
     return n >= 2 and (n & (n - 1)) == 0
 
 
+def _supported_len(n):
+    """Kernel-supported transform lengths: 2^a, or 3*2^a (one radix-3
+    stage) — the latter covers the 3/2-rule dealiasing extents
+    (e.g. 768 = 1.5*512), which would otherwise fall back to the einsum
+    engine (reference: libfft.py padding semantics)."""
+    if _is_pow2(n):
+        return True
+    return n % 3 == 0 and _is_pow2(n // 3)
+
+
 # Stockham stage-radix plan override, e.g. '8,8,16' (must multiply to N).
 # The in-kernel cost is dominated by full-state VMEM sweeps — one per
 # stage — so higher radices (an in-register R-point DFT per group) cut
@@ -166,7 +191,8 @@ def _stage_plan(N):
     """Radices per Stockham stage (each a power of two <= 32)."""
     if _STAGE_PLAN_ENV:
         plan = tuple(int(t) for t in _STAGE_PLAN_ENV.split(','))
-        if int(np.prod(plan)) == N and all(_is_pow2(r) for r in plan):
+        if int(np.prod(plan)) == N and \
+                all(_is_pow2(r) or r == 3 for r in plan):
             return plan
     return _default_plan(N)
 
@@ -183,25 +209,31 @@ def _default_plan(N):
     Radix-32 (32,32: 31.1 ms) also loses.  At N <= 256 the relation
     FLIPS: (4,4,4,4) 0.411 ms vs (16,16) 0.512 at 256^3 — short
     transforms are DMA-bound and radix-16's extra in-register
-    arithmetic only hurts, so the 16-plans apply at N >= 512 only."""
+    arithmetic only hurts, so the 16-plans apply at N >= 512 only.
+
+    Lengths 3*2^a take one radix-3 stage appended to the pow2 plan
+    (covers the 3/2-dealiasing extents, e.g. 768); the 16-vs-4 choice
+    for the pow2 part keys on the FULL length N (the compute/DMA
+    balance scales with N, not with the pow2 factor alone)."""
+    M, tail = (N // 3, (3,)) if N % 3 == 0 else (N, ())
     if N >= 512:
         plan = []
-        L = N
+        L = M
         while L >= 16:
             plan.append(16)
             L //= 16
         if L > 1:
             plan.append(L)
-        return tuple(plan)
+        return tuple(plan) + tail
     plan = []
-    L = N
+    L = M
     if (L.bit_length() - 1) % 2:
         plan.append(2)
         L //= 2
     while L > 1:
         plan.append(4)
         L //= 4
-    return tuple(plan)
+    return tuple(plan) + tail
 
 
 @functools.lru_cache(maxsize=None)
@@ -308,6 +340,35 @@ def _butterfly(xr, xi, tw_ref, N, sign, scale=None):
                 ti = dr * twi + di * twr
             xr = jnp.concatenate([sr, tr], axis=1)
             xi = jnp.concatenate([si, ti], axis=1)
+        elif r == 3:
+            q0r, q1r, q2r = xr[:Lq], xr[Lq:2 * Lq], xr[2 * Lq:]
+            q0i, q1i, q2i = xi[:Lq], xi[Lq:2 * Lq], xi[2 * Lq:]
+            # w3 = exp(sign*2i*pi/3) = c + i*s; w3^2 = conj(w3)
+            c = -0.5
+            s = sign * 0.8660254037844386          # sqrt(3)/2
+            ar, ai = q1r + q2r, q1i + q2i           # q1 + q2
+            br, bi = q1r - q2r, q1i - q2i           # q1 - q2
+            y0r, y0i = q0r + ar, q0i + ai
+            y1r = q0r + c * ar - s * bi
+            y1i = q0i + c * ai + s * br
+            y2r = q0r + c * ar + s * bi
+            y2i = q0i + c * ai - s * br
+            if L == 3:
+                xr = jnp.concatenate([y0r, y1r, y2r], axis=1)
+                xi = jnp.concatenate([y0i, y1i, y2i], axis=1)
+            else:
+                w1r = tw_ref[0, off:off + Lq][:, None]
+                w1i = tw_ref[1, off:off + Lq][:, None]
+                w2r = tw_ref[0, off + Lq:off + 2 * Lq][:, None]
+                w2i = tw_ref[1, off + Lq:off + 2 * Lq][:, None]
+                xr = jnp.concatenate(
+                    [y0r,
+                     y1r * w1r - y1i * w1i,
+                     y2r * w2r - y2i * w2i], axis=1)
+                xi = jnp.concatenate(
+                    [y0i,
+                     y1r * w1i + y1i * w1r,
+                     y2r * w2i + y2i * w2r], axis=1)
         elif r >= 8:
             qs = [(xr[j * Lq:(j + 1) * Lq], xi[j * Lq:(j + 1) * Lq])
                   for j in range(r)]
@@ -476,7 +537,7 @@ def supported_axis(shape, axis, dtype):
     nd = len(shape)
     axis = axis % nd
     N = shape[axis]
-    if not _is_pow2(N) or N > _MAX_N_AXIS:
+    if not _supported_len(N) or N > _MAX_N_AXIS:
         return False
     pre = int(np.prod(shape[:axis], dtype=np.int64)) if axis else 1
     post = int(np.prod(shape[axis + 1:], dtype=np.int64)) \
@@ -820,7 +881,8 @@ def _dispatch_plane_large(p, sign, interpret, scale):
                   tw2_spec, tw1_spec],
         out_specs=_bspec((2, 1, N1, N2), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
-        input_output_aliases=_alias() if not interpret else {},
+        input_output_aliases=_alias(x.size * x.dtype.itemsize)
+        if not interpret else {},
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=120 * 2 ** 20),
         interpret=interpret,
@@ -838,6 +900,170 @@ def fft_plane_large_p(p, forward=True, interpret=None, scale=None):
     sign = -1 if forward else +1
     return _dispatch_plane_large(p, sign, interpret,
                                  None if scale is None else float(scale))
+
+
+# ---------------------------------------------------------------------------
+# split-axis (2-in / 2-out) c2c kernels — out-of-place passes for
+# chip-filling volumes
+# ---------------------------------------------------------------------------
+#
+# In-place aliasing costs ~30% HBM bandwidth (see _INPLACE above), but a
+# full out-of-place pass needs input + output volumes live at once —
+# 2 x 8.6 GB at 1024^3, over the ~16 GB HBM.  These kernels take the
+# transform axis SPLIT across TWO arrays (each carrying N/2 of it) and
+# write TWO outputs: with the volume stored as quarters
+# (x-half x z-half), every pass of a 3-D transform is out-of-place while
+# peak HBM stays at 4 quarters + 2 in flight = 1.5 volumes (12.9 GB at
+# 1024^3).  XLA's buffer assignment retires each input quarter as its
+# pass completes.  Role: the OOP analogue of FFTW_DESTROY_INPUT plans
+# (reference fftw flags, mpi4py_fft/fftw/utilities.pyx:28-37).
+
+def _kern_lead2(xa_ref, xb_ref, tw_ref, oa_ref, ob_ref, *, N, sign,
+                scale):
+    """Lead-axis split pair: blocks (2, N/2, 8, 128) x2 -> same x2."""
+    h = N // 2
+    r, i = _butterfly(
+        jnp.concatenate([xa_ref[0], xb_ref[0]], axis=0),
+        jnp.concatenate([xa_ref[1], xb_ref[1]], axis=0),
+        tw_ref, N, sign, scale)
+    oa_ref[0], oa_ref[1] = r[:h], i[:h]
+    ob_ref[0], ob_ref[1] = r[h:], i[h:]
+
+
+def _kern_mid2(xa_ref, xb_ref, tw_ref, oa_ref, ob_ref, *, N, sign,
+               scale):
+    """Mid-axis split pair: blocks (2, 8, N/2, 128) x2 -> same x2."""
+    h = N // 2
+    xr = jnp.concatenate([jnp.transpose(xa_ref[0], (1, 0, 2)),
+                          jnp.transpose(xb_ref[0], (1, 0, 2))], axis=0)
+    xi = jnp.concatenate([jnp.transpose(xa_ref[1], (1, 0, 2)),
+                          jnp.transpose(xb_ref[1], (1, 0, 2))], axis=0)
+    r, i = _butterfly(xr, xi, tw_ref, N, sign, scale)
+    oa_ref[0] = jnp.transpose(r[:h], (1, 0, 2))
+    oa_ref[1] = jnp.transpose(i[:h], (1, 0, 2))
+    ob_ref[0] = jnp.transpose(r[h:], (1, 0, 2))
+    ob_ref[1] = jnp.transpose(i[h:], (1, 0, 2))
+
+
+def _kern_last2s(xa_ref, xb_ref, tw_ref, oa_ref, ob_ref, *, N, sign,
+                 scale):
+    """Last-axis split pair: blocks (2, 8, 128, N/2) x2; lane-concat to
+    the full row, then the variant-2 tile-local moves."""
+    h = N // 2
+    xs = []
+    for p in range(2):
+        x = jnp.concatenate([xa_ref[p], xb_ref[p]], axis=2)  # (8,128,N)
+        x = jnp.swapaxes(x, 1, 2)                            # (8,N,128)
+        xs.append(jnp.transpose(x, (1, 0, 2)))               # (N,8,128)
+    r, i = _butterfly(xs[0], xs[1], tw_ref, N, sign, scale)
+    for p, v in ((0, r), (1, i)):
+        y = jnp.swapaxes(jnp.transpose(v, (1, 0, 2)), 1, 2)  # (8,128,N)
+        oa, ob = (oa_ref, ob_ref)
+        oa[p] = y[:, :, :h]
+        ob[p] = y[:, :, h:]
+
+
+def supported_axis_split(shape, axis, dtype):
+    """Gate for ``fft_axis2_p``: ``shape`` is the complex shape of ONE
+    half (the split axis carries N/2)."""
+    nd = len(shape)
+    axis = axis % nd
+    full = list(shape)
+    full[axis] *= 2
+    if not supported_axis(tuple(full), axis, dtype):
+        return False
+    N = full[axis]
+    if N % 2 or not _supported_len(N):
+        return False
+    pre = int(np.prod(shape[:axis], dtype=np.int64)) if axis else 1
+    post = int(np.prod(shape[axis + 1:], dtype=np.int64)) \
+        if axis < nd - 1 else 1
+    if axis == 0 and pre == 1:
+        return post % _LANE == 0
+    if post == 1:
+        return (N // 2) % _LANE == 0 and pre % (_SUB * _LANE) == 0
+    return pre % _SUB == 0 and post % _LANE == 0
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('axis', 'sign', 'interpret', 'scale'))
+def _dispatch2(pa, pb_, axis, sign, interpret, scale):
+    shape = pa.shape[1:]
+    nd = len(shape)
+    N = 2 * shape[axis]
+    dtype_str = np.dtype(pa.dtype).name
+    pre = int(np.prod(shape[:axis], dtype=np.int64)) if axis else 1
+    post = int(np.prod(shape[axis + 1:], dtype=np.int64)) \
+        if axis < nd - 1 else 1
+    tw_small = jnp.asarray(_tw_pack(N, sign, dtype_str))
+    tw = jnp.broadcast_to(tw_small[:, :, None, None],
+                          (2, tw_small.shape[1], _SUB, _LANE))
+    tw_spec = _bspec((2, tw_small.shape[1], _SUB, _LANE),
+                     lambda *g: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+    h = N // 2
+
+    def call(kern, xa, xb, block_in, imap, grid, out_shape, block_out=None,
+             imap_out=None):
+        kw = {}
+        cp = _cparams(N)
+        if cp is not None and not interpret:
+            kw['compiler_params'] = cp
+        spec_in = _bspec(block_in, imap, memory_space=pltpu.VMEM)
+        spec_out = _bspec(block_out or block_in, imap_out or imap,
+                          memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kern,
+            out_shape=(jax.ShapeDtypeStruct(out_shape, xa.dtype),
+                       jax.ShapeDtypeStruct(out_shape, xa.dtype)),
+            grid=grid,
+            in_specs=[spec_in, spec_in, tw_spec],
+            out_specs=(spec_out, spec_out),
+            interpret=interpret,
+            **kw,
+        )(xa, xb, tw)
+
+    kf = dict(N=N, sign=sign, scale=scale)
+    if post == 1:
+        xa = pa.reshape(2, pre // _LANE, _LANE, h)
+        xb = pb_.reshape(2, pre // _LANE, _LANE, h)
+        oa, ob = call(
+            functools.partial(_kern_last2s, **kf), xa, xb,
+            (2, _SUB, _LANE, h), lambda i: (0, i, 0, 0),
+            (pre // (_SUB * _LANE),), xa.shape)
+        return oa.reshape(pa.shape), ob.reshape(pa.shape)
+    if pre == 1:
+        xa = pa.reshape(2, h, post // _LANE, _LANE)
+        xb = pb_.reshape(2, h, post // _LANE, _LANE)
+        oa, ob = call(
+            functools.partial(_kern_lead2, **kf), xa, xb,
+            (2, h, _SUB, _LANE), lambda i: (0, 0, i, 0),
+            (_cdiv(post // _LANE, _SUB),), xa.shape)
+        return oa.reshape(pa.shape), ob.reshape(pa.shape)
+    xa = pa.reshape(2, pre, h, post)
+    xb = pb_.reshape(2, pre, h, post)
+    oa, ob = call(
+        functools.partial(_kern_mid2, **kf), xa, xb,
+        (2, _SUB, h, _LANE), lambda i, j: (0, i, 0, j),
+        (pre // _SUB, _cdiv(post, _LANE)), xa.shape)
+    return oa.reshape(pa.shape), ob.reshape(pa.shape)
+
+
+def fft_axis2_p(pa, pb_, axis, forward=True, interpret=None, scale=None):
+    """Planar c2c FFT along ``axis`` where that axis is SPLIT across two
+    arrays (``pa`` rows 0..N/2, ``pb_`` rows N/2..N).  Out-of-place by
+    construction (no input aliasing) — the fast-DMA path for volumes
+    whose ping-pong pair exceeds HBM.  Returns the two output halves.
+    Requires ``supported_axis_split(pa.shape[1:], axis, pa.dtype)``.
+    """
+    nd = pa.ndim - 1
+    axis = axis % nd
+    assert pa.shape == pb_.shape
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    sign = -1 if forward else +1
+    return _dispatch2(pa, pb_, axis, sign, interpret,
+                      None if scale is None else float(scale))
 
 
 # ---------------------------------------------------------------------------

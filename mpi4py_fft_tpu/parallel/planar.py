@@ -208,6 +208,7 @@ class PlanarPFFT(object):
         elif executor == 'shard_map':
             assert shmap_ok, "shard_map executor needs a multi-device mesh"
         self.executor = executor
+        self._nmesh = nmesh
 
         # donate=True reuses the input buffer's HBM for intermediates
         # (in-place semantics like FFTW_DESTROY_INPUT) — halves the
@@ -511,6 +512,39 @@ class PlanarPFFT(object):
         if self.executor == 'shard_map':
             return self._backward_shmap(p, normalize)
         return self._backward_impl(p, normalize)
+
+    # quartered out-of-place schedule (ops/oop3d.py) — the production
+    # path for chip-filling single-device c2c volumes, where in-place
+    # aliasing costs ~30% HBM bandwidth but a full out-of-place
+    # ping-pong pair would exceed HBM.  State stays quartered across
+    # chained transforms; split/assemble only at the boundaries.
+    @property
+    def quartered(self):
+        """True when forward_fn_q/backward_fn_q apply to this plan:
+        single-device, plain 3-D c2c in natural axis order, no
+        dealiasing, kernel-supported quarter shapes."""
+        from ..ops import oop3d
+        return (self._nmesh == 1
+                and not self.real_transform
+                and len(self._input_shape) == 3
+                and tuple(self.axes) == (0, 1, 2)
+                and all(f == 1.0 for f in self._pad)
+                and oop3d.supported_q(self._input_shape, self.rdtype))
+
+    def forward_fn_q(self, qs, normalize=True):
+        """Forward transform of a quartered planar volume (see
+        ops/oop3d.split_q); returns transformed quarters."""
+        assert self.quartered
+        from ..ops import oop3d
+        return oop3d.fft3_q(qs, True,
+                            scale=self._norm if normalize else None)
+
+    def backward_fn_q(self, qs, normalize=False):
+        """Backward transform of a quartered planar spectrum."""
+        assert self.quartered
+        from ..ops import oop3d
+        return oop3d.fft3_q(qs, False,
+                            scale=self._norm if normalize else None)
 
     def global_shape(self, forward_output=False):
         if forward_output:

@@ -1,0 +1,91 @@
+"""Per-pass dissection of the quartered OOP schedule at 1024^3.
+
+The composed fft3_q measured 135.6 ms/transform vs a 64 ms projection
+from half-volume OOP passes — this isolates which pass type eats it:
+chained y-only (4x 1-in mid), x-only (2x lead pair), z-only (2x last
+pair) passes on steady quartered state.
+
+Run:  python scripts/tpu_oop3d_dissect.py [1024]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+os.environ.setdefault('MPI4PY_FFT_TPU_X64', '0')
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from mpi4py_fft_tpu.ops import pallas_butterfly as pb
+
+    jax.config.update('jax_compilation_cache_dir',
+                      '/tmp/mpi4py_fft_tpu_bench.xla_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    qshape = (2, n // 2, n, n // 2)
+    gb2 = 4 * 2 * int(np.prod(qshape)) * 4 / 1e9   # full volume r+w / pass
+
+    def sync(qs):
+        return float(np.asarray(jax.device_get(qs[0][(0, 0, 0, 0)])))
+
+    key = jax.random.PRNGKey(0)
+    mk = jax.jit(lambda k: tuple(
+        jax.random.uniform(kk, qshape, jnp.float32, -0.5, 0.5)
+        for kk in jax.random.split(k, 4)))
+
+    def probe(tag, one_pass):
+        try:
+            ts = {}
+            for k in (1, 3):
+                def f(*qs, kk=k):
+                    for _ in range(kk):
+                        qs = one_pass(qs)
+                    return qs
+                j = jax.jit(f, donate_argnums=(0, 1, 2, 3))
+                qs = mk(key)
+                qs = j(*qs)
+                sync(qs)
+                for _ in range(2):
+                    qs = j(*qs)
+                sync(qs)
+                t0 = time.perf_counter()
+                for _ in range(3):
+                    qs = j(*qs)
+                sync(qs)
+                ts[k] = (time.perf_counter() - t0) / 3
+                del qs
+            b = (ts[3] - ts[1]) / 2
+            print(f"  {tag:24s} per-pass {b*1e3:8.3f} ms "
+                  f"({gb2 / b:6.0f} GB/s r+w)", flush=True)
+        except Exception as e:                            # noqa: BLE001
+            print(f"  {tag:24s} FAILED {type(e).__name__}: "
+                  f"{str(e)[:140]}", flush=True)
+
+    def ypass(qs):
+        return tuple(pb.fft_axis_p(q, 1, True) for q in qs)
+
+    def xpass(qs):
+        q00, q01, q10, q11 = qs
+        q00, q10 = pb.fft_axis2_p(q00, q10, 0, True)
+        q01, q11 = pb.fft_axis2_p(q01, q11, 0, True)
+        return (q00, q01, q10, q11)
+
+    def zpass(qs):
+        q00, q01, q10, q11 = qs
+        q00, q01 = pb.fft_axis2_p(q00, q01, 2, True)
+        q10, q11 = pb.fft_axis2_p(q10, q11, 2, True)
+        return (q00, q01, q10, q11)
+
+    print(f"== quartered pass dissection at {n}^3", flush=True)
+    probe('y-pass (4x mid 1-in)', ypass)
+    probe('x-pass (2x lead pair)', xpass)
+    probe('z-pass (2x last pair)', zpass)
+
+
+if __name__ == '__main__':
+    main()
