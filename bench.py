@@ -31,8 +31,12 @@ def _sync(v):
     """Scalar D2H fetch: forces the ordered execution queue to drain
     (block_until_ready is unreliable on tunneled platforms).  Indexes a
     single element — ravel() would materialize a full flattened copy,
-    which at 1024^3 is 8.6 GB and OOMs the chip."""
+    which at 1024^3 is 8.6 GB and OOMs the chip.  Accepts the quartered
+    state tuple too (drains via its last quarter — passes execute in
+    order, so the last-written quarter bounds the queue)."""
     import jax
+    if isinstance(v, tuple):
+        v = v[-1]
     return float(np.asarray(jax.device_get(v[(0,) * v.ndim])))
 
 
@@ -52,21 +56,46 @@ def _bench_fft(n, reps, chain):
     # dozens of transforms per dispatch (36/timestep in the DNS example),
     # so this is the deployment shape, and it also amortizes the
     # per-dispatch tunnel latency of this environment.
-    def step(q):
-        for _ in range(chain):
-            q = pfft.backward_fn(pfft.forward_fn(q, normalize=True),
-                                 normalize=False)
-        return q
-    fwd = jax.jit(step, donate_argnums=(0,))
+    # Quartered out-of-place schedule (PlanarPFFT.forward_fn_q /
+    # ops/oop3d.py): every axis pass runs out-of-place (~30% more HBM
+    # bandwidth than aliased passes) with peak memory 1.5 volumes.  The
+    # state stays quartered across the chain, exactly as a production
+    # solver loop would hold it.
+    quartered = (pfft.quartered
+                 and os.environ.get('BENCH_QUARTERED', 'on') == 'on')
+    import sys
+    if quartered:
+        def step(*qs):
+            for _ in range(chain):
+                qs = pfft.backward_fn_q(
+                    pfft.forward_fn_q(qs, normalize=True),
+                    normalize=False)
+            return qs
+        fwd_q = jax.jit(step, donate_argnums=(0, 1, 2, 3))
+        fwd = lambda qs: fwd_q(*qs)
+    else:
+        def step(q):
+            for _ in range(chain):
+                q = pfft.backward_fn(pfft.forward_fn(q, normalize=True),
+                                     normalize=False)
+            return q
+        fwd = jax.jit(step, donate_argnums=(0,))
     per_call = 2 * chain
 
     # device-side input: staging 8.6 GB over the tunneled H2D link takes
     # ~5 min at 1024^3; the bench content only needs to be non-trivial
-    p = jax.jit(lambda k: jax.random.uniform(k, (2,) + N, jnp.float32,
-                                             -0.5, 0.5))(
-        jax.random.PRNGKey(0))
-    import sys
-    print(f"# {n}^3: input staged, compiling...", file=sys.stderr, flush=True)
+    key = jax.random.PRNGKey(0)
+    if quartered:
+        qshape = (2, n // 2, n, n // 2)
+        p = jax.jit(lambda k: tuple(
+            jax.random.uniform(kk, qshape, jnp.float32, -0.5, 0.5)
+            for kk in jax.random.split(k, 4)))(key)
+    else:
+        p = jax.jit(lambda k: jax.random.uniform(
+            k, (2,) + N, jnp.float32, -0.5, 0.5))(key)
+    print(f"# {n}^3: input staged, compiling "
+          f"({'quartered OOP' if quartered else 'in-place'} schedule)...",
+          file=sys.stderr, flush=True)
     y = fwd(p)          # compile (donates p)
     _sync(y)
     # WARMUP: the first few post-compile executions pay a ~2 s one-time

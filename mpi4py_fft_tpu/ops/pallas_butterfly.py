@@ -313,8 +313,111 @@ def _dft_slabs(qs, sign):
     return out
 
 
+def _stage_apply(qr, qi, r, L, off, tw_ref, sign):
+    """One Stockham stage from r input slabs (each (Lq, M, ...)) to the
+    concatenated (Lq, r*M, ...) state.  Slab j = state[j*Lq:(j+1)*Lq];
+    callers slice (or, for the split-pair kernels, gather slabs across
+    two input refs without materializing an input concat)."""
+    Lq = L // r
+    if r == 2:
+        ar, br = qr[0], qr[1]
+        ai, bi = qi[0], qi[1]
+        sr, si = ar + br, ai + bi
+        dr, di = ar - br, ai - bi
+        if L == 2:
+            tr, ti = dr, di          # w = 1
+        else:
+            twr = tw_ref[0, off:off + Lq][:, None]
+            twi = tw_ref[1, off:off + Lq][:, None]
+            tr = dr * twr - di * twi
+            ti = dr * twi + di * twr
+        return (jnp.concatenate([sr, tr], axis=1),
+                jnp.concatenate([si, ti], axis=1))
+    if r == 3:
+        q0r, q1r, q2r = qr
+        q0i, q1i, q2i = qi
+        # w3 = exp(sign*2i*pi/3) = c + i*s; w3^2 = conj(w3)
+        c = -0.5
+        s = sign * 0.8660254037844386          # sqrt(3)/2
+        ar, ai = q1r + q2r, q1i + q2i           # q1 + q2
+        br, bi = q1r - q2r, q1i - q2i           # q1 - q2
+        y0r, y0i = q0r + ar, q0i + ai
+        y1r = q0r + c * ar - s * bi
+        y1i = q0i + c * ai + s * br
+        y2r = q0r + c * ar + s * bi
+        y2i = q0i + c * ai - s * br
+        if L == 3:
+            return (jnp.concatenate([y0r, y1r, y2r], axis=1),
+                    jnp.concatenate([y0i, y1i, y2i], axis=1))
+        w1r = tw_ref[0, off:off + Lq][:, None]
+        w1i = tw_ref[1, off:off + Lq][:, None]
+        w2r = tw_ref[0, off + Lq:off + 2 * Lq][:, None]
+        w2i = tw_ref[1, off + Lq:off + 2 * Lq][:, None]
+        return (jnp.concatenate(
+                    [y0r,
+                     y1r * w1r - y1i * w1i,
+                     y2r * w2r - y2i * w2i], axis=1),
+                jnp.concatenate(
+                    [y0i,
+                     y1r * w1i + y1i * w1r,
+                     y2r * w2i + y2i * w2r], axis=1))
+    if r >= 8:
+        ys = _dft_slabs(list(zip(qr, qi)), sign)
+        outs_r, outs_i = [ys[0][0]], [ys[0][1]]
+        for k in range(1, r):
+            yr, yi = ys[k]
+            if L == r:              # final stage of this length: w = 1
+                outs_r.append(yr)
+                outs_i.append(yi)
+            else:
+                wr = tw_ref[0, off + (k - 1) * Lq:off + k * Lq][:, None]
+                wi = tw_ref[1, off + (k - 1) * Lq:off + k * Lq][:, None]
+                outs_r.append(yr * wr - yi * wi)
+                outs_i.append(yr * wi + yi * wr)
+        return (jnp.concatenate(outs_r, axis=1),
+                jnp.concatenate(outs_i, axis=1))
+    q0r, q1r, q2r, q3r = qr
+    q0i, q1i, q2i, q3i = qi
+    t0r, t0i = q0r + q2r, q0i + q2i
+    t1r, t1i = q1r + q3r, q1i + q3i
+    t2r, t2i = q0r - q2r, q0i - q2i
+    t3r, t3i = q1r - q3r, q1i - q3i
+    # w4 = exp(sign*i*pi/2): w4*z = (-sign*zi, sign*zr)
+    u3r, u3i = -sign * t3i, sign * t3r
+    y0r, y0i = t0r + t1r, t0i + t1i
+    y2r, y2i = t0r - t1r, t0i - t1i
+    y1r, y1i = t2r + u3r, t2i + u3i
+    y3r, y3i = t2r - u3r, t2i - u3i
+    if L == 4:
+        return (jnp.concatenate([y0r, y1r, y2r, y3r], axis=1),
+                jnp.concatenate([y0i, y1i, y2i, y3i], axis=1))
+    w1r = tw_ref[0, off:off + Lq][:, None]
+    w1i = tw_ref[1, off:off + Lq][:, None]
+    w2r = tw_ref[0, off + Lq:off + 2 * Lq][:, None]
+    w2i = tw_ref[1, off + Lq:off + 2 * Lq][:, None]
+    w3r = tw_ref[0, off + 2 * Lq:off + 3 * Lq][:, None]
+    w3i = tw_ref[1, off + 2 * Lq:off + 3 * Lq][:, None]
+    return (jnp.concatenate(
+                [y0r,
+                 y1r * w1r - y1i * w1i,
+                 y2r * w2r - y2i * w2i,
+                 y3r * w3r - y3i * w3i], axis=1),
+            jnp.concatenate(
+                [y0i,
+                 y1r * w1i + y1i * w1r,
+                 y2r * w2i + y2i * w2r,
+                 y3r * w3i + y3i * w3r], axis=1))
+
+
+def _finish(xr, xi, scale):
+    if scale is not None:
+        xr = xr * scale
+        xi = xi * scale
+    return xr[0], xi[0]              # (N, 8, 128)
+
+
 def _butterfly(xr, xi, tw_ref, N, sign, scale=None):
-    """Stockham mixed radix-4/2 over the leading axis of (N, 8, 128)
+    """Stockham mixed-radix FFT over the leading axis of (N, 8, 128)
     pairs.  Sub-transform j of an (L, M) state computes frequencies
     k = k_local*M + j; a radix-r stage splits k_local = r*k'' + rr and
     deposits result rr at the new sub-transform index rr*M + j — plain
@@ -326,107 +429,45 @@ def _butterfly(xr, xi, tw_ref, N, sign, scale=None):
     off = 0
     for r in _stage_plan(N):
         Lq = L // r
-        if r == 2:
-            ar, br = xr[:Lq], xr[Lq:]
-            ai, bi = xi[:Lq], xi[Lq:]
-            sr, si = ar + br, ai + bi
-            dr, di = ar - br, ai - bi
-            if L == 2:
-                tr, ti = dr, di          # w = 1
-            else:
-                twr = tw_ref[0, off:off + Lq][:, None]
-                twi = tw_ref[1, off:off + Lq][:, None]
-                tr = dr * twr - di * twi
-                ti = dr * twi + di * twr
-            xr = jnp.concatenate([sr, tr], axis=1)
-            xi = jnp.concatenate([si, ti], axis=1)
-        elif r == 3:
-            q0r, q1r, q2r = xr[:Lq], xr[Lq:2 * Lq], xr[2 * Lq:]
-            q0i, q1i, q2i = xi[:Lq], xi[Lq:2 * Lq], xi[2 * Lq:]
-            # w3 = exp(sign*2i*pi/3) = c + i*s; w3^2 = conj(w3)
-            c = -0.5
-            s = sign * 0.8660254037844386          # sqrt(3)/2
-            ar, ai = q1r + q2r, q1i + q2i           # q1 + q2
-            br, bi = q1r - q2r, q1i - q2i           # q1 - q2
-            y0r, y0i = q0r + ar, q0i + ai
-            y1r = q0r + c * ar - s * bi
-            y1i = q0i + c * ai + s * br
-            y2r = q0r + c * ar + s * bi
-            y2i = q0i + c * ai - s * br
-            if L == 3:
-                xr = jnp.concatenate([y0r, y1r, y2r], axis=1)
-                xi = jnp.concatenate([y0i, y1i, y2i], axis=1)
-            else:
-                w1r = tw_ref[0, off:off + Lq][:, None]
-                w1i = tw_ref[1, off:off + Lq][:, None]
-                w2r = tw_ref[0, off + Lq:off + 2 * Lq][:, None]
-                w2i = tw_ref[1, off + Lq:off + 2 * Lq][:, None]
-                xr = jnp.concatenate(
-                    [y0r,
-                     y1r * w1r - y1i * w1i,
-                     y2r * w2r - y2i * w2i], axis=1)
-                xi = jnp.concatenate(
-                    [y0i,
-                     y1r * w1i + y1i * w1r,
-                     y2r * w2i + y2i * w2r], axis=1)
-        elif r >= 8:
-            qs = [(xr[j * Lq:(j + 1) * Lq], xi[j * Lq:(j + 1) * Lq])
-                  for j in range(r)]
-            ys = _dft_slabs(qs, sign)
-            outs_r, outs_i = [ys[0][0]], [ys[0][1]]
-            for k in range(1, r):
-                yr, yi = ys[k]
-                if L == r:              # final stage of this length: w = 1
-                    outs_r.append(yr)
-                    outs_i.append(yi)
-                else:
-                    wr = tw_ref[0, off + (k - 1) * Lq:off + k * Lq][:, None]
-                    wi = tw_ref[1, off + (k - 1) * Lq:off + k * Lq][:, None]
-                    outs_r.append(yr * wr - yi * wi)
-                    outs_i.append(yr * wi + yi * wr)
-            xr = jnp.concatenate(outs_r, axis=1)
-            xi = jnp.concatenate(outs_i, axis=1)
-        else:
-            q0r, q1r = xr[:Lq], xr[Lq:2 * Lq]
-            q2r, q3r = xr[2 * Lq:3 * Lq], xr[3 * Lq:]
-            q0i, q1i = xi[:Lq], xi[Lq:2 * Lq]
-            q2i, q3i = xi[2 * Lq:3 * Lq], xi[3 * Lq:]
-            t0r, t0i = q0r + q2r, q0i + q2i
-            t1r, t1i = q1r + q3r, q1i + q3i
-            t2r, t2i = q0r - q2r, q0i - q2i
-            t3r, t3i = q1r - q3r, q1i - q3i
-            # w4 = exp(sign*i*pi/2): w4*z = (-sign*zi, sign*zr)
-            u3r, u3i = -sign * t3i, sign * t3r
-            y0r, y0i = t0r + t1r, t0i + t1i
-            y2r, y2i = t0r - t1r, t0i - t1i
-            y1r, y1i = t2r + u3r, t2i + u3i
-            y3r, y3i = t2r - u3r, t2i - u3i
-            if L == 4:
-                xr = jnp.concatenate([y0r, y1r, y2r, y3r], axis=1)
-                xi = jnp.concatenate([y0i, y1i, y2i, y3i], axis=1)
-            else:
-                w1r = tw_ref[0, off:off + Lq][:, None]
-                w1i = tw_ref[1, off:off + Lq][:, None]
-                w2r = tw_ref[0, off + Lq:off + 2 * Lq][:, None]
-                w2i = tw_ref[1, off + Lq:off + 2 * Lq][:, None]
-                w3r = tw_ref[0, off + 2 * Lq:off + 3 * Lq][:, None]
-                w3i = tw_ref[1, off + 2 * Lq:off + 3 * Lq][:, None]
-                xr = jnp.concatenate(
-                    [y0r,
-                     y1r * w1r - y1i * w1i,
-                     y2r * w2r - y2i * w2i,
-                     y3r * w3r - y3i * w3i], axis=1)
-                xi = jnp.concatenate(
-                    [y0i,
-                     y1r * w1i + y1i * w1r,
-                     y2r * w2i + y2i * w2r,
-                     y3r * w3i + y3i * w3r], axis=1)
+        qr = [xr[j * Lq:(j + 1) * Lq] for j in range(r)]
+        qi = [xi[j * Lq:(j + 1) * Lq] for j in range(r)]
+        xr, xi = _stage_apply(qr, qi, r, L, off, tw_ref, sign)
         off += (r - 1) * Lq
         L = Lq
-    if scale is not None:
-        xr = xr * scale
-        xi = xi * scale
-    return xr[0], xi[0]              # (N, 8, 128)
+    return _finish(xr, xi, scale)
+
+
+def _butterfly2(ra, ia, rb, ib, tw_ref, N, sign, scale=None):
+    """Split-input butterfly: the transform axis arrives as TWO halves
+    (rows 0..N/2 in a, N/2..N in b).  The first stage gathers its slabs
+    directly from the two inputs — no materialized input concat (the
+    extra full-state copy that made the naive pair kernels ~30% slower
+    than the 1-input kernels on hardware)."""
+    plan = _stage_plan(N)
+    r0 = plan[0]
+    Lq = N // r0
+    h = N // 2
+    assert Lq <= h and h % Lq == 0
+    ra, ia = ra[:, None], ia[:, None]
+    rb, ib = rb[:, None], ib[:, None]
+
+    def slab(x, y, j):
+        s = j * Lq
+        return x[s:s + Lq] if s + Lq <= h else y[s - h:s - h + Lq]
+
+    qr = [slab(ra, rb, j) for j in range(r0)]
+    qi = [slab(ia, ib, j) for j in range(r0)]
+    xr, xi = _stage_apply(qr, qi, r0, N, 0, tw_ref, sign)
+    off = (r0 - 1) * Lq
+    L = Lq
+    for r in plan[1:]:
+        Lq = L // r
+        qr = [xr[j * Lq:(j + 1) * Lq] for j in range(r)]
+        qi = [xi[j * Lq:(j + 1) * Lq] for j in range(r)]
+        xr, xi = _stage_apply(qr, qi, r, L, off, tw_ref, sign)
+        off += (r - 1) * Lq
+        L = Lq
+    return _finish(xr, xi, scale)
 
 
 # ---------------------------------------------------------------------------
@@ -920,12 +961,12 @@ def fft_plane_large_p(p, forward=True, interpret=None, scale=None):
 
 def _kern_lead2(xa_ref, xb_ref, tw_ref, oa_ref, ob_ref, *, N, sign,
                 scale):
-    """Lead-axis split pair: blocks (2, N/2, 8, 128) x2 -> same x2."""
+    """Lead-axis split pair: blocks (2, N/2, 8, 128) x2 -> same x2.
+    First-stage slabs are gathered straight from the two refs
+    (_butterfly2) — no materialized input concat."""
     h = N // 2
-    r, i = _butterfly(
-        jnp.concatenate([xa_ref[0], xb_ref[0]], axis=0),
-        jnp.concatenate([xa_ref[1], xb_ref[1]], axis=0),
-        tw_ref, N, sign, scale)
+    r, i = _butterfly2(xa_ref[0], xa_ref[1], xb_ref[0], xb_ref[1],
+                       tw_ref, N, sign, scale)
     oa_ref[0], oa_ref[1] = r[:h], i[:h]
     ob_ref[0], ob_ref[1] = r[h:], i[h:]
 
@@ -934,11 +975,12 @@ def _kern_mid2(xa_ref, xb_ref, tw_ref, oa_ref, ob_ref, *, N, sign,
                scale):
     """Mid-axis split pair: blocks (2, 8, N/2, 128) x2 -> same x2."""
     h = N // 2
-    xr = jnp.concatenate([jnp.transpose(xa_ref[0], (1, 0, 2)),
-                          jnp.transpose(xb_ref[0], (1, 0, 2))], axis=0)
-    xi = jnp.concatenate([jnp.transpose(xa_ref[1], (1, 0, 2)),
-                          jnp.transpose(xb_ref[1], (1, 0, 2))], axis=0)
-    r, i = _butterfly(xr, xi, tw_ref, N, sign, scale)
+    r, i = _butterfly2(
+        jnp.transpose(xa_ref[0], (1, 0, 2)),
+        jnp.transpose(xa_ref[1], (1, 0, 2)),
+        jnp.transpose(xb_ref[0], (1, 0, 2)),
+        jnp.transpose(xb_ref[1], (1, 0, 2)),
+        tw_ref, N, sign, scale)
     oa_ref[0] = jnp.transpose(r[:h], (1, 0, 2))
     oa_ref[1] = jnp.transpose(i[:h], (1, 0, 2))
     ob_ref[0] = jnp.transpose(r[h:], (1, 0, 2))
@@ -947,20 +989,19 @@ def _kern_mid2(xa_ref, xb_ref, tw_ref, oa_ref, ob_ref, *, N, sign,
 
 def _kern_last2s(xa_ref, xb_ref, tw_ref, oa_ref, ob_ref, *, N, sign,
                  scale):
-    """Last-axis split pair: blocks (2, 8, 128, N/2) x2; lane-concat to
-    the full row, then the variant-2 tile-local moves."""
+    """Last-axis split pair: blocks (2, 8, 128, N/2) x2; per-input
+    variant-2 tile-local moves, slab-gathered butterfly (no concat)."""
     h = N // 2
-    xs = []
-    for p in range(2):
-        x = jnp.concatenate([xa_ref[p], xb_ref[p]], axis=2)  # (8,128,N)
-        x = jnp.swapaxes(x, 1, 2)                            # (8,N,128)
-        xs.append(jnp.transpose(x, (1, 0, 2)))               # (N,8,128)
-    r, i = _butterfly(xs[0], xs[1], tw_ref, N, sign, scale)
+    st = []
+    for ref in (xa_ref, xb_ref):
+        for p in range(2):
+            x = jnp.swapaxes(ref[p], 1, 2)            # (8, h, 128)
+            st.append(jnp.transpose(x, (1, 0, 2)))    # (h, 8, 128)
+    r, i = _butterfly2(st[0], st[1], st[2], st[3], tw_ref, N, sign,
+                       scale)
     for p, v in ((0, r), (1, i)):
-        y = jnp.swapaxes(jnp.transpose(v, (1, 0, 2)), 1, 2)  # (8,128,N)
-        oa, ob = (oa_ref, ob_ref)
-        oa[p] = y[:, :, :h]
-        ob[p] = y[:, :, h:]
+        oa_ref[p] = jnp.swapaxes(jnp.transpose(v[:h], (1, 0, 2)), 1, 2)
+        ob_ref[p] = jnp.swapaxes(jnp.transpose(v[h:], (1, 0, 2)), 1, 2)
 
 
 def supported_axis_split(shape, axis, dtype):
@@ -1033,6 +1074,20 @@ def _dispatch2(pa, pb_, axis, sign, interpret, scale):
             (pre // (_SUB * _LANE),), xa.shape)
         return oa.reshape(pa.shape), ob.reshape(pa.shape)
     if pre == 1:
+        if (pa.ndim == 4 and pa.shape[3] % _LANE == 0
+                and pa.shape[2] % _SUB == 0):
+            # native 4-D blocks (2-D grid) — NO reshape.  Flattening
+            # the trailing dims and re-splitting at 128 is only a
+            # metadata reshape when the minor extent IS 128; for
+            # quarter shapes (minor = Z/2 = 512) it breaks the (8,128)
+            # tiling and XLA materializes a full-volume relayout on
+            # both sides of the kernel (measured: the composed y+x
+            # pass-set ran at 107.7 ms vs 17+25.5 for its parts).
+            oa, ob = call(
+                functools.partial(_kern_lead2, **kf), pa, pb_,
+                (2, h, _SUB, _LANE), lambda i, j: (0, 0, i, j),
+                (pa.shape[2] // _SUB, pa.shape[3] // _LANE), pa.shape)
+            return oa, ob
         xa = pa.reshape(2, h, post // _LANE, _LANE)
         xb = pb_.reshape(2, h, post // _LANE, _LANE)
         oa, ob = call(
@@ -1269,6 +1324,14 @@ def set_packed_mode(mode):
     _PACKED_MODE = mode
 
 
+
+def _ckw(N, interpret):
+    """compiler_params kwargs for the r2c/c2r dispatches: the long-N
+    kernels (incl. the radix-3 768 lengths) exceed the default 16 MB
+    scoped-VMEM stack budget — same per-N sizing as the c2c _pcall."""
+    cp = _cparams(N)
+    return {} if (cp is None or interpret) else {'compiler_params': cp}
+
 @functools.partial(jax.jit,
                    static_argnames=('axis', 'hext', 'interpret', 'scale',
                                     'packed'))
@@ -1303,6 +1366,7 @@ def _dispatch_r2c(x, axis, hext, interpret, scale, packed):
             out_specs=_bspec((2, R, hext), lambda i: (0, i, 0),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
+            **_ckw(N, interpret),
         )(xg, tw)
         return out.reshape((2,) + shape[:axis] + (hext,))
     if pre == 1:
@@ -1319,6 +1383,7 @@ def _dispatch_r2c(x, axis, hext, interpret, scale, packed):
                                    lambda i: (0, 0, i, 0),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
+            **_ckw(N, interpret),
         )(xg, tw)
         return out.reshape((2, hext) + shape[axis + 1:])
     xg = x.reshape(1, pre, N, post)
@@ -1333,6 +1398,7 @@ def _dispatch_r2c(x, axis, hext, interpret, scale, packed):
                                lambda i, j: (0, i, 0, j),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
+        **_ckw(N, interpret),
     )(xg, tw)
     return out.reshape((2,) + shape[:axis] + (hext,) + shape[axis + 1:])
 
@@ -1414,6 +1480,7 @@ def _dispatch_c2r(p, axis, n, interpret, scale, packed):
             out_specs=_bspec((1, R, N), lambda i: (0, i, 0),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
+            **_ckw(N, interpret),
         )(xg, tg, tw)
     elif pre == 1:
         xg = p.reshape(2, Hin, post // _LANE, _LANE)
@@ -1433,6 +1500,7 @@ def _dispatch_c2r(p, axis, n, interpret, scale, packed):
                                    lambda i: (0, 0, i, 0),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
+            **_ckw(N, interpret),
         )(xg, tg, tw)
     else:
         xg = p.reshape(2, pre, Hin, post)
@@ -1451,6 +1519,7 @@ def _dispatch_c2r(p, axis, n, interpret, scale, packed):
                                    lambda i, j: (0, i, 0, j),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
+            **_ckw(N, interpret),
         )(xg, tg, tw)
     return out.reshape(out_shape)
 

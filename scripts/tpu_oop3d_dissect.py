@@ -42,6 +42,8 @@ def main():
         try:
             ts = {}
             for k in (1, 3):
+                print(f"    [{tag}] k={k} compiling/running...",
+                      flush=True)
                 def f(*qs, kk=k):
                     for _ in range(kk):
                         qs = one_pass(qs)
@@ -81,7 +83,41 @@ def main():
         q10, q11 = pb.fft_axis2_p(q10, q11, 2, True)
         return (q00, q01, q10, q11)
 
+    # 2-in/2-out COPY with the x-pair's exact blocking: isolates the
+    # 4-stream pipeline cost from butterfly compute
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def k_copy2(xa_ref, xb_ref, oa_ref, ob_ref):
+        oa_ref[...] = xa_ref[...]
+        ob_ref[...] = xb_ref[...]
+
+    def paircopy(qs):
+        q00, q01, q10, q11 = qs
+        h = n // 2
+        outs = []
+        for a, b in ((q00, q10), (q01, q11)):
+            xa = a.reshape(2, h, (n * h) // 128, 128)
+            xb = b.reshape(2, h, (n * h) // 128, 128)
+            spec = pb._bspec((2, h, 8, 128), lambda i: (0, 0, i, 0),
+                             memory_space=pltpu.VMEM)
+            oa, ob = pl.pallas_call(
+                k_copy2,
+                out_shape=(jax.ShapeDtypeStruct(xa.shape, xa.dtype),) * 2,
+                grid=((n * h) // 128 // 8,),
+                in_specs=[spec, spec],
+                out_specs=(spec, spec),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=120 * 2 ** 20),
+            )(xa, xb)
+            outs.append((oa.reshape(a.shape), ob.reshape(b.shape)))
+        return (outs[0][0], outs[1][0], outs[0][1], outs[1][1])
+
     print(f"== quartered pass dissection at {n}^3", flush=True)
+    if os.environ.get('DISSECT_ONLY', '') == 'z':
+        probe('z-pass (2x last pair)', zpass)
+        return
+    probe('pair-copy (x blocking)', paircopy)
     probe('y-pass (4x mid 1-in)', ypass)
     probe('x-pass (2x lead pair)', xpass)
     probe('z-pass (2x last pair)', zpass)
