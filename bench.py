@@ -239,9 +239,13 @@ def main():
     n_np = min(n, int(os.environ.get('BENCH_NP_N', 256)))
     xn = (rng.random((n_np,) * 3, dtype=np.float32) +
           1j * rng.random((n_np,) * 3, dtype=np.float32)).astype(np.complex64)
-    t0 = time.perf_counter()
-    _ = np.fft.fftn(xn)
-    dt_np = time.perf_counter() - t0
+    # best of 3: single-shot pocketfft timing on this shared 2-vCPU host
+    # varies ~3x run to run, which made vs_baseline jump across rounds
+    dt_np = float('inf')
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = np.fft.fftn(xn)
+        dt_np = min(dt_np, time.perf_counter() - t0)
     flops_np = 5.0 * float(n_np) ** 3 * np.log2(float(n_np) ** 3)
     gflops_np = flops_np / dt_np / 1e9
 
