@@ -22,38 +22,55 @@ class FileBase(object):
     def _check_domain(self, group, field):
         raise NotImplementedError
 
+    @staticmethod
+    def _scalar_views(name, array, as_scalar):
+        """Yield ``(dataset_name, scalar_field)`` pairs for one field.
+
+        Rank-0 arrays (and everything when ``as_scalar`` is off) pass
+        through unchanged; higher tensor ranks are exploded into one
+        scalar view per component, suffixed with the component's index
+        digits (``v`` -> ``v0``, ``v1`` ... / ``T01`` ...).  Matches the
+        naming convention of the reference (io/file_base.py:49-78) but
+        enumerates components via ``np.ndindex`` over the leading tensor
+        dimensions instead of per-rank loops, so any tensor rank works.
+        """
+        rank = getattr(array, 'rank', 0)
+        if not as_scalar or rank == 0:
+            yield name, array
+            return
+        for idx in np.ndindex(*array.shape[:rank]):
+            yield name + ''.join(map(str, idx)), array[idx]
+
     def write(self, step, fields, **kw):
-        """Write snapshot ``step`` of ``fields`` to file
-        (reference: io/file_base.py:34-78)."""
+        """Write snapshot ``step`` of ``fields`` to the file.
+
+        ``fields`` maps a dataset name to a list of entries, each either
+        a DistArray (whole-domain snapshot) or an ``(array,
+        global_slice)`` pair (slice snapshot).  Semantics follow the
+        reference (io/file_base.py:34-78); the implementation flattens
+        every entry to ``(name, scalar_component, slice-or-None)``
+        records first and then dispatches each record to the backend
+        hook (`_write_group` / `_write_slice_step`).
+        """
         as_scalar = kw.get("as_scalar", False)
-
-        def _write(group, u, sl, step, kw):
-            if sl is None:
-                self._write_group(group, u, step, **kw)
-            else:
-                self._write_slice_step(group, step, sl, u, **kw)
-
-        for group, list_of_fields in fields.items():
-            assert isinstance(list_of_fields, (tuple, list))
-            assert isinstance(group, str)
-            for field in list_of_fields:
-                u = field[0] if isinstance(field, (tuple, list)) else field
-                sl = field[1] if isinstance(field, (tuple, list)) else None
-                if as_scalar is False or u.rank == 0:
-                    self._check_domain(group, u)
-                    _write(group, u, sl, step, kw)
-                else:  # explode tensor components into scalar groups
-                    if u.rank == 1:
-                        for k in range(u.shape[0]):
-                            g = group + str(k)
-                            self._check_domain(g, u[k])
-                            _write(g, u[k], sl, step, kw)
-                    elif u.rank == 2:
-                        for k in range(u.shape[0]):
-                            for l in range(u.shape[1]):
-                                g = group + str(k) + str(l)
-                                self._check_domain(g, u[k, l])
-                                _write(g, u[k, l], sl, step, kw)
+        for name, entries in fields.items():
+            if not (isinstance(name, str) and
+                    isinstance(entries, (tuple, list))):
+                raise TypeError("fields must map str -> list of arrays "
+                                "or (array, global_slice) pairs")
+            for entry in entries:
+                if isinstance(entry, (tuple, list)):
+                    array, gslice = entry
+                else:
+                    array, gslice = entry, None
+                for dname, comp in self._scalar_views(name, array,
+                                                      as_scalar):
+                    self._check_domain(dname, comp)
+                    if gslice is None:
+                        self._write_group(dname, comp, step, **kw)
+                    else:
+                        self._write_slice_step(dname, step, gslice,
+                                               comp, **kw)
 
     def read(self, u, name, **kw):
         raise NotImplementedError

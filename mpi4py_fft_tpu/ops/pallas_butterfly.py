@@ -44,7 +44,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ['fft_axis_p', 'supported_axis', 'rfft_axis_p',
            'irfft_axis_p', 'supported_c2r', 'fft_plane_p',
-           'supported_plane', 'fft_plane_large_p', 'supported_plane_large']
+           'supported_plane', 'fft_plane_large_p', 'supported_plane_large',
+           'fft_axis2_p', 'supported_axis_split']
 
 _LANE = 128
 _SUB = 8
@@ -191,8 +192,13 @@ def _stage_plan(N):
     """Radices per Stockham stage (each a power of two <= 32)."""
     if _STAGE_PLAN_ENV:
         plan = tuple(int(t) for t in _STAGE_PLAN_ENV.split(','))
+        # first stage must be even: _butterfly2's split-pair entry
+        # assumes the leading radix divides the half-length (a leading
+        # radix-3 would trip `h % Lq` deep in tracing with an opaque
+        # assert) — reorder any radix-3 stage to the end instead
         if int(np.prod(plan)) == N and \
-                all(_is_pow2(r) or r == 3 for r in plan):
+                all(_is_pow2(r) or r == 3 for r in plan) and \
+                plan[0] % 2 == 0:
             return plan
     return _default_plan(N)
 

@@ -44,6 +44,52 @@ def test_butterfly_axis(shape, axis, forward):
     assert rel < 5e-6, rel
 
 
+@pytest.mark.parametrize('N', [96, 384, 768])
+@pytest.mark.parametrize('pos', ['lead', 'mid', 'last'])
+def test_butterfly_radix3_lengths(N, pos):
+    """3*2^a lengths (the 3/2-rule dealiasing extents, e.g. 768 = 1.5*512)
+    ride the butterfly kernels via one radix-3 stage — regression-pin them
+    across all axis positions (reference padding semantics:
+    libfft.py:263-311)."""
+    shape, axis = {
+        'lead': ((N, 8, 128), 0),
+        'mid': ((8, N, 128), 1),
+        'last': ((1024, N), 1),
+    }[pos]
+    assert pb.supported_axis(shape, axis, np.float32)
+    rng = np.random.default_rng(11)
+    z = (rng.standard_normal(shape)
+         + 1j * rng.standard_normal(shape)).astype(np.complex64)
+    p = jnp.asarray(np.stack([z.real, z.imag]))
+    y = pb.fft_axis_p(p, axis, True, interpret=True)
+    got = np.asarray(y[0]) + 1j * np.asarray(y[1])
+    ref = np.fft.fft(z, axis=axis)
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 5e-6
+    b = pb.fft_axis_p(y, axis, False, interpret=True) / N
+    rt = np.linalg.norm(np.asarray(b) - np.asarray(p)) \
+        / np.linalg.norm(np.asarray(p))
+    assert rt < 5e-6, rt
+
+
+def test_stage_plan_override_rejects_leading_odd():
+    """A STAGE_PLAN override whose first radix is odd (e.g. '3,16,16')
+    must be rejected (the split-pair entry assumes an even first stage);
+    the measured default is used instead."""
+    import mpi4py_fft_tpu.ops.pallas_butterfly as pbm
+    prev = pbm._STAGE_PLAN_ENV
+    pbm._stage_plan.cache_clear()
+    try:
+        pbm._STAGE_PLAN_ENV = '3,16,16'
+        assert pbm._stage_plan(768) == pbm._default_plan(768)
+        assert pbm._stage_plan(768)[0] % 2 == 0
+        pbm._stage_plan.cache_clear()
+        pbm._STAGE_PLAN_ENV = '16,16,3'
+        assert pbm._stage_plan(768) == (16, 16, 3)
+    finally:
+        pbm._STAGE_PLAN_ENV = prev
+        pbm._stage_plan.cache_clear()
+
+
 def test_supported_axis_gate():
     # non-pow2, too-large, f64, and bad chunking must be rejected
     assert not pb.supported_axis((12, 256), 1, np.float32)
