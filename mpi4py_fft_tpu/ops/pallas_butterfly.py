@@ -116,7 +116,14 @@ _INPLACE_MIN = float(_os.environ.get('MPI4PY_FFT_TPU_INPLACE_MIN_GB',
                                      '4.0')) * 1e9
 
 
-def _alias(nbytes=None):
+def _alias(nbytes=None, oop=None):
+    """``oop`` (tri-state) lets a schedule override the env policy per
+    call: True = never alias (the caller guarantees the ping-pong pair
+    fits HBM), False = always alias, None = env/size-gated default."""
+    if oop is True:
+        return {}
+    if oop is False:
+        return {0: 0}
     if _INPLACE == 'off':
         return {}
     if _INPLACE == 'force' or nbytes is None:
@@ -134,7 +141,8 @@ def _cparams(N, mb=None):
     return pltpu.CompilerParams(vmem_limit_bytes=mb * 2 ** 20)
 
 
-def _pcall(kern, x, tw, block, imap, tw_spec, grid, N, interpret, mb=None):
+def _pcall(kern, x, tw, block, imap, tw_spec, grid, N, interpret, mb=None,
+           oop=None):
     """Shared pallas_call wrapper for the c2c axis kernels: identical
     in/out blocking, optional in-place aliasing, per-N VMEM budget."""
     kw = {}
@@ -147,7 +155,7 @@ def _pcall(kern, x, tw, block, imap, tw_spec, grid, N, interpret, mb=None):
         grid=grid,
         in_specs=[_bspec(block, imap, memory_space=pltpu.VMEM), tw_spec],
         out_specs=_bspec(block, imap, memory_space=pltpu.VMEM),
-        input_output_aliases=_alias(x.size * x.dtype.itemsize)
+        input_output_aliases=_alias(x.size * x.dtype.itemsize, oop)
         if not interpret else {},
         interpret=interpret,
         **kw,
@@ -597,8 +605,9 @@ def supported_axis(shape, axis, dtype):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('axis', 'sign', 'interpret', 'scale'))
-def _dispatch(p, axis, sign, interpret, scale):
+                   static_argnames=('axis', 'sign', 'interpret', 'scale',
+                                    'oop'))
+def _dispatch(p, axis, sign, interpret, scale, oop=None):
     shape = p.shape[1:]
     nd = len(shape)
     N = shape[axis]
@@ -619,14 +628,14 @@ def _dispatch(p, axis, sign, interpret, scale):
             out = _pcall(
                 functools.partial(_kern_last2, N=N, sign=sign, scale=scale),
                 x, tw, (2, _SUB, _LANE, N), lambda i: (0, i, 0, 0),
-                tw_spec, (pre // (_SUB * _LANE),), N, interpret)
+                tw_spec, (pre // (_SUB * _LANE),), N, interpret, oop=oop)
             return out.reshape(p.shape)
         x = p.reshape(2, pre, N)
         R = _SUB * _LANE
         out = _pcall(
             functools.partial(_kern_last, N=N, sign=sign, scale=scale),
             x, tw, (2, R, N), lambda i: (0, i, 0),
-            tw_spec, (pre // R,), N, interpret)
+            tw_spec, (pre // R,), N, interpret, oop=oop)
     elif pre == 1:
         if (N > _MAX_N and p.ndim == 4 and p.shape[3] % _LANE == 0
                 and p.shape[2] % _SUB == 0):
@@ -637,7 +646,7 @@ def _dispatch(p, axis, sign, interpret, scale):
                     p, tw, (2, N, _SUB, _WIDE_W),
                     lambda i, j: (0, 0, i, j),
                     tw_spec, (p.shape[2] // _SUB, p.shape[3] // _WIDE_W),
-                    N, interpret)
+                    N, interpret, oop=oop)
                 return out
             # long-N: (2, N, 8, 128) blocks over the NATIVE 4-D shape
             # (2-D grid) instead of reshaping to (2, N, post//128, 128)
@@ -649,7 +658,7 @@ def _dispatch(p, axis, sign, interpret, scale):
                 functools.partial(_kern_lead, N=N, sign=sign, scale=scale),
                 p, tw, (2, N, _SUB, _LANE), lambda i, j: (0, 0, i, j),
                 tw_spec, (p.shape[2] // _SUB, p.shape[3] // _LANE),
-                N, interpret)
+                N, interpret, oop=oop)
             return out
         if post % _LANE:
             # ragged lane extent: variant-1 blocks with a masked edge
@@ -658,7 +667,7 @@ def _dispatch(p, axis, sign, interpret, scale):
             out = _pcall(
                 functools.partial(_kern_lead1, N=N, sign=sign, scale=scale),
                 x, tw, (2, N, Q), lambda i: (0, 0, i),
-                tw_spec, (_cdiv(post, Q),), N, interpret)
+                tw_spec, (_cdiv(post, Q),), N, interpret, oop=oop)
             return out.reshape(p.shape)
         if _LEAD_VARIANT == '3' and post % (2 * _SUB * _LANE) == 0:
             S = 2 * _SUB                     # 16 sublanes: 8 KiB HBM chunks
@@ -673,7 +682,7 @@ def _dispatch(p, axis, sign, interpret, scale):
             out = _pcall(
                 functools.partial(_kern_lead, N=N, sign=sign, scale=scale),
                 x, tw, (2, N, S, _LANE), lambda i: (0, 0, i, 0),
-                tw_spec, (post // (S * _LANE),), N, interpret,
+                tw_spec, (post // (S * _LANE),), N, interpret, oop=oop,
                 mb=64 if N <= 256 else None)
             return out.reshape(p.shape)
         if _LEAD_VARIANT == '1':
@@ -682,7 +691,7 @@ def _dispatch(p, axis, sign, interpret, scale):
             out = _pcall(
                 functools.partial(_kern_lead1, N=N, sign=sign, scale=scale),
                 x, tw, (2, N, Q), lambda i: (0, 0, i),
-                tw_spec, (_cdiv(post, Q),), N, interpret)
+                tw_spec, (_cdiv(post, Q),), N, interpret, oop=oop)
             return out.reshape(p.shape)
         if _wide_ok(post) and (post // _WIDE_W) % _SUB == 0:
             x = p.reshape(2, N, post // _WIDE_W, _WIDE_W)
@@ -690,13 +699,13 @@ def _dispatch(p, axis, sign, interpret, scale):
                 functools.partial(_kern_lead_w, N=N, sign=sign,
                                   scale=scale),
                 x, tw, (2, N, _SUB, _WIDE_W), lambda i: (0, 0, i, 0),
-                tw_spec, (post // (_SUB * _WIDE_W),), N, interpret)
+                tw_spec, (post // (_SUB * _WIDE_W),), N, interpret, oop=oop)
             return out.reshape(p.shape)
         x = p.reshape(2, N, post // _LANE, _LANE)
         out = _pcall(
             functools.partial(_kern_lead, N=N, sign=sign, scale=scale),
             x, tw, (2, N, _SUB, _LANE), lambda i: (0, 0, i, 0),
-            tw_spec, (_cdiv(post // _LANE, _SUB),), N, interpret)
+            tw_spec, (_cdiv(post // _LANE, _SUB),), N, interpret, oop=oop)
     else:
         x = p.reshape(2, pre, N, post)
         if _wide_ok(post):
@@ -704,22 +713,26 @@ def _dispatch(p, axis, sign, interpret, scale):
                 functools.partial(_kern_mid_w, N=N, sign=sign,
                                   scale=scale),
                 x, tw, (2, _SUB, N, _WIDE_W), lambda i, j: (0, i, 0, j),
-                tw_spec, (pre // _SUB, post // _WIDE_W), N, interpret)
+                tw_spec, (pre // _SUB, post // _WIDE_W), N, interpret, oop=oop)
             return out.reshape(p.shape)
         out = _pcall(
             functools.partial(_kern_mid, N=N, sign=sign, scale=scale),
             x, tw, (2, _SUB, N, _LANE), lambda i, j: (0, i, 0, j),
-            tw_spec, (pre // _SUB, _cdiv(post, _LANE)), N, interpret)
+            tw_spec, (pre // _SUB, _cdiv(post, _LANE)), N, interpret, oop=oop)
     return out.reshape(p.shape)
 
 
-def fft_axis_p(p, axis, forward=True, interpret=None, scale=None):
+def fft_axis_p(p, axis, forward=True, interpret=None, scale=None,
+               oop=None):
     """Planar c2c FFT along ``axis`` (complex coords) of (2, ...) data.
 
     Requires ``supported_axis(p.shape[1:], axis, p.dtype)``.  Unnormalized
     unless ``scale`` is given (applied in-VMEM in the final stage — saves
     the separate normalization HBM pass).  forward=False is the unscaled
-    inverse.  2 HBM passes, VPU butterflies.
+    inverse.  2 HBM passes, VPU butterflies.  ``oop`` (tri-state)
+    overrides the in-place aliasing policy per call (see ``_alias``):
+    a schedule that manages HBM liveness itself passes oop=True for the
+    fast out-of-place rate, oop=False to force aliasing.
     """
     nd = p.ndim - 1
     axis = axis % nd
@@ -727,7 +740,7 @@ def fft_axis_p(p, axis, forward=True, interpret=None, scale=None):
         interpret = jax.default_backend() != 'tpu'
     sign = -1 if forward else +1
     return _dispatch(p, axis, sign, interpret,
-                     None if scale is None else float(scale))
+                     None if scale is None else float(scale), oop)
 
 
 # ---------------------------------------------------------------------------
@@ -1033,8 +1046,9 @@ def supported_axis_split(shape, axis, dtype):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('axis', 'sign', 'interpret', 'scale'))
-def _dispatch2(pa, pb_, axis, sign, interpret, scale):
+                   static_argnames=('axis', 'sign', 'interpret', 'scale',
+                                    'alias'))
+def _dispatch2(pa, pb_, axis, sign, interpret, scale, alias=False):
     shape = pa.shape[1:]
     nd = len(shape)
     N = 2 * shape[axis]
@@ -1066,6 +1080,8 @@ def _dispatch2(pa, pb_, axis, sign, interpret, scale):
             grid=grid,
             in_specs=[spec_in, spec_in, tw_spec],
             out_specs=(spec_out, spec_out),
+            input_output_aliases={0: 0, 1: 1}
+            if (alias and not interpret) else {},
             interpret=interpret,
             **kw,
         )(xa, xb, tw)
@@ -1110,11 +1126,14 @@ def _dispatch2(pa, pb_, axis, sign, interpret, scale):
     return oa.reshape(pa.shape), ob.reshape(pa.shape)
 
 
-def fft_axis2_p(pa, pb_, axis, forward=True, interpret=None, scale=None):
+def fft_axis2_p(pa, pb_, axis, forward=True, interpret=None, scale=None,
+                alias=False):
     """Planar c2c FFT along ``axis`` where that axis is SPLIT across two
     arrays (``pa`` rows 0..N/2, ``pb_`` rows N/2..N).  Out-of-place by
-    construction (no input aliasing) — the fast-DMA path for volumes
-    whose ping-pong pair exceeds HBM.  Returns the two output halves.
+    default (no input aliasing) — the fast-DMA path for volumes whose
+    ping-pong pair exceeds HBM; ``alias=True`` writes each output over
+    its input half (FFTW_DESTROY_INPUT-style) for schedules where even
+    the extra half-pair does not fit.  Returns the two output halves.
     Requires ``supported_axis_split(pa.shape[1:], axis, pa.dtype)``.
     """
     nd = pa.ndim - 1
@@ -1124,7 +1143,7 @@ def fft_axis2_p(pa, pb_, axis, forward=True, interpret=None, scale=None):
         interpret = jax.default_backend() != 'tpu'
     sign = -1 if forward else +1
     return _dispatch2(pa, pb_, axis, sign, interpret,
-                      None if scale is None else float(scale))
+                      None if scale is None else float(scale), alias)
 
 
 # ---------------------------------------------------------------------------

@@ -186,29 +186,53 @@ class Transform(object):
         return y
 
     def _shmap_local(self, q, normalize):
-        """The per-shard program (body of the shard_map executor)."""
+        """The per-shard program (body of the shard_map executor).
+
+        Each transpose+stage pipeline step is chunked along an axis
+        uninvolved in both (parallel/overlap.py), emitting independent
+        ``all_to_all -> stage`` chains per chunk so the latency-hiding
+        scheduler overlaps chunk k's butterflies with chunk k+1's ICI
+        traffic.  The reference's hot loop (mpifft.py:68-72) runs these
+        strictly back to back."""
         from ..ops import matfft
+        from . import overlap as _ov
         plan = self._shmap_plan
         pl = self._planars
+        cfg = getattr(self._pfft, '_a2a_cfg', 1)
+
+        def step(q, i, stage, g, rin):
+            if g is not None:
+                _, axA, axB = plan['a2a'][i - 1][:3]
+                with jax.named_scope(f"pfft_a2a{i - 1}"):
+                    q = lax.all_to_all(q, g, split_axis=rin + axA,
+                                       concat_axis=rin + axB, tiled=True)
+            with jax.named_scope(f"pfft_stage{i}"):
+                for ax, n in plan['slices'][i]:
+                    q = _slice_ax(q, rin + ax, n)
+                q = stage(q, normalize)
+                rout = int(pl[i + 1])
+                for ax, n in plan['pads'][i]:
+                    q = _pad_ax(q, rout + ax, n)
+            return q
+
         # local_dispatch: kernel gates decide on the LOCAL shard shapes
         # (the global device-count gate does not apply inside shard_map)
         with matfft.local_dispatch():
             for i, stage in enumerate(self._stages):
                 rin = int(pl[i])
+                g = cands = None
                 if i > 0:
-                    g, axA, axB = plan['a2a'][i - 1]
-                    if g is not None:
-                        with jax.named_scope(f"pfft_a2a{i - 1}"):
-                            q = lax.all_to_all(
-                                q, g, split_axis=rin + axA,
-                                concat_axis=rin + axB, tiled=True)
-                with jax.named_scope(f"pfft_stage{i}"):
-                    for ax, n in plan['slices'][i]:
-                        q = _slice_ax(q, rin + ax, n)
-                    q = stage(q, normalize)
-                    rout = int(pl[i + 1])
-                    for ax, n in plan['pads'][i]:
-                        q = _pad_ax(q, rout + ax, n)
+                    g, _axA, _axB, cands = plan['a2a'][i - 1]
+                chain = (lambda qc, i=i, stage=stage, g=g, rin=rin:
+                         step(qc, i, stage, g, rin))
+                if g is None or not cands:
+                    q = chain(q)
+                    continue
+                c = max(cands, key=lambda c: q.shape[rin + c])
+                n = _ov.resolve(cfg, q.size * q.dtype.itemsize,
+                                q.shape[rin + c])
+                q = _ov.overlapped(q, rin + c, n, chain,
+                                   out_axis=int(pl[i + 1]) + c)
         return q
 
     def _impl_gspmd(self, x, normalize):
@@ -384,6 +408,8 @@ class PFFT(object):
                  grid=None, padding=False, collapse=False, backend='jax',
                  transforms=None, darray=None, **kw):
         self._executor_req = kw.pop('executor', None)
+        from . import overlap as _ov
+        self._a2a_cfg = _ov.chunk_count(kw.pop('a2a_chunks', None))
         if shape is None:
             assert darray is not None
             shape = darray.pencil.shape
@@ -630,9 +656,23 @@ class PFFT(object):
 
         fwd_slices, fwd_pads = stage_plan(self.xfftn, 'forward')
         bck_slices, bck_pads = stage_plan(self.xfftn[::-1], 'backward')
+
+        def with_chunk_axes(a2a, objs):
+            # chunk-axis candidates for the overlapped transpose: axes
+            # that participate in neither the all_to_all nor the stage
+            # that consumes it (parallel/overlap.py)
+            out = []
+            for i, (g, axA, axB) in enumerate(a2a):
+                used = {axA, axB} | set(objs[i + 1].axes)
+                cands = tuple(c for c in range(ndim) if c not in used)
+                out.append((g, axA, axB, cands))
+            return out
+
         fwd_a2a = [(t.pencilA.subcomm[t.pencilB.axis].name,
                     t.pencilA.axis, t.pencilB.axis) for t in self.transfer]
         bwd_a2a = [(g, axB, axA) for (g, axA, axB) in reversed(fwd_a2a)]
+        fwd_a2a = with_chunk_axes(fwd_a2a, self.xfftn)
+        bwd_a2a = with_chunk_axes(bwd_a2a, self.xfftn[::-1])
         fwd_plan = dict(mesh=self._mesh,
                         in_pad=padded(self._input_shape),
                         out_true=self._output_shape,

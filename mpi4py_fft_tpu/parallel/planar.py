@@ -86,7 +86,9 @@ class PlanarPFFT(object):
 
     def __init__(self, comm=None, shape=None, axes=None, dtype='f',
                  grid=None, donate=False, padding=False, pad_spectrum=False,
-                 executor='auto'):
+                 executor='auto', a2a_chunks=None):
+        from . import overlap as _ov
+        self._a2a_cfg = _ov.chunk_count(a2a_chunks)
         shape = list(int(s) for s in shape)
         ndim = len(shape)
         if axes is None:
@@ -304,29 +306,53 @@ class PlanarPFFT(object):
         for i, ax in enumerate(reversed(axes[:-1])):
             sc = self._norm if (normalize and i == nmid - 1) else None
             folded = folded or sc is not None
-            p = self._transpose_lax(p, i, True)
-            p = self._slice_ax(p, 1 + ax, self._input_shape[ax])
-            p = _local_fft1d(p, ax, True, scale=sc)
-            if self._padded(ax):
-                p = truncate_planar(p, 1 + ax, self._trunc[ax],
-                                    hermitian=False)
-            p = self._pad_ax(p, 1 + ax, self._spec_pad_shape[ax])
+
+            def chain(pc, i=i, ax=ax, sc=sc):
+                pc = self._transpose_lax(pc, i, True)
+                pc = self._slice_ax(pc, 1 + ax, self._input_shape[ax])
+                pc = _local_fft1d(pc, ax, True, scale=sc)
+                if self._padded(ax):
+                    pc = truncate_planar(pc, 1 + ax, self._trunc[ax],
+                                         hermitian=False)
+                return self._pad_ax(pc, 1 + ax, self._spec_pad_shape[ax])
+            p = self._overlapped_step(p, i, ax, chain)
         if normalize and not folded:
             p = p * np.asarray(self._norm, dtype=self.rdtype)
         return p
+
+    def _overlapped_step(self, p, i, ax, chain):
+        """Run one transpose+transform pipeline step, chunked along an
+        uninvolved axis so chunk k's butterfly stage overlaps chunk k+1's
+        all_to_all (see parallel/overlap.py; the reference's hot loop is
+        strictly sequential, mpifft.py:68-72)."""
+        from . import overlap as _ov
+        pa, pb = self.pencils[i], self.pencils[i + 1]
+        if pa.subcomm[pb.axis].name is None:       # no comm: nothing to hide
+            return chain(p)
+        used = {pa.axis, pb.axis, ax}
+        cands = [c for c in range(len(self._input_shape)) if c not in used]
+        if not cands:
+            return chain(p)
+        c = max(cands, key=lambda c: p.shape[1 + c])
+        n = _ov.resolve(self._a2a_cfg, p.size * p.dtype.itemsize,
+                        p.shape[1 + c])
+        return _ov.overlapped(p, 1 + c, n, chain)
 
     def _backward_local(self, p, normalize):
         """Per-shard backward program (runs under shard_map); axes arrive
         at ``_spec_pad_shape`` extents and leave at ``_phys_pad_shape``."""
         axes = self.axes
         for i, ax in enumerate(axes[:-1]):
-            p = self._slice_ax(p, 1 + ax, self._trunc[ax])
-            if self._padded(ax):
-                p = pad_planar(p, 1 + ax, self._input_shape[ax],
-                               hermitian=False)
-            p = _local_fft1d(p, ax, False)
-            p = self._pad_ax(p, 1 + ax, self._phys_pad_shape[ax])
-            p = self._transpose_lax(p, len(axes) - 2 - i, False)
+
+            def chain(pc, i=i, ax=ax):
+                pc = self._slice_ax(pc, 1 + ax, self._trunc[ax])
+                if self._padded(ax):
+                    pc = pad_planar(pc, 1 + ax, self._input_shape[ax],
+                                    hermitian=False)
+                pc = _local_fft1d(pc, ax, False)
+                pc = self._pad_ax(pc, 1 + ax, self._phys_pad_shape[ax])
+                return self._transpose_lax(pc, len(axes) - 2 - i, False)
+            p = self._overlapped_step(p, len(axes) - 2 - i, ax, chain)
         ax0 = axes[-1]
         p = self._slice_ax(p, 1 + ax0, self._output_shape[ax0])
         if self.real_transform:

@@ -66,6 +66,26 @@ def test_fft_axis2_vs_numpy(axis):
     assert rel < 1e-5, rel
 
 
+def test_fft_axis2_alias_matches_oop():
+    """alias=True (in-place pair, FFTW_DESTROY_INPUT-style) must compute
+    the same transform as the default out-of-place pair (the aliasing
+    only changes buffer assignment; interpret mode ignores it, so this
+    pins the trace path)."""
+    full = (16, 64, 128)
+    half = (8, 64, 128)
+    assert pb.supported_axis_split(half, 0, np.float32)
+    x = _rng(9).standard_normal((2,) + full).astype(np.float32)
+    pa, pb_ = jnp.asarray(x[:, :8]), jnp.asarray(x[:, 8:])
+    oa, ob = pb.fft_axis2_p(pa, pb_, 0, True, interpret=True)
+    aa, ab = pb.fft_axis2_p(pa, pb_, 0, True, interpret=True, alias=True)
+    assert np.array_equal(np.asarray(oa), np.asarray(aa))
+    assert np.array_equal(np.asarray(ob), np.asarray(ab))
+    got = np.concatenate([np.asarray(aa), np.asarray(ab)], axis=1)
+    ref = np.fft.fft(x[0] + 1j * x[1], axis=0)
+    rel = np.abs((got[0] + 1j * got[1]) - ref).max() / np.abs(ref).max()
+    assert rel < 1e-5, rel
+
+
 def test_fft3_q_vs_numpy_and_roundtrip():
     x = _rng(2).standard_normal((2,) + SHAPE).astype(np.float32)
     qs = oop3d.split_q(jnp.asarray(x))
