@@ -1,10 +1,22 @@
 """HDF5 snapshot backend.
 
 Reference semantics: mpi4py_fft/io/h5py_file.py.  The reference opens the
-file with the MPI-IO driver and each rank writes its hyperslab
-(io/h5py_file.py:33, 147-152); under the single-controller model the
-controller writes the global array (one writer per host on multihost), with
-identical resulting file layout:
+file with the MPI-IO driver and every rank writes its hyperslab
+simultaneously (io/h5py_file.py:33, 147-152).  Multi-process writes here
+are concurrent too, by one of two mechanisms (``MPI4PY_FFT_TPU_H5_MODE``):
+
+  ``vds`` (default) — every process streams its shards into its own
+      sidecar file ``<name>.p<rank>.h5`` in parallel (separate files:
+      no locking, no coordination), then process 0 stitches an HDF5
+      Virtual Dataset into the main file mapping each shard source to
+      its global hyperslab.  Readers (h5py, xdmf tools) see the same
+      ``name/{ndim}D/{step}`` schema; the sidecars must travel with the
+      main file.
+  ``serial`` — the round-3 behavior: processes take turns on the main
+      file under a global-device barrier (O(#processes) wall clock;
+      kept as a fallback that produces a single self-contained file).
+
+File schema (identical to the reference):
 
     name/{ndim}D/{step}                  whole snapshots
     name/{ndim}D/{slicename}/{step}      global-slice snapshots
@@ -18,12 +30,16 @@ from .file_base import FileBase
 
 __all__ = ('HDF5File',)
 
-# Multi-process access is serialized by our own global-device barriers
-# (see :meth:`HDF5File.write`); HDF5's advisory file locking would
-# deadlock the turn-taking (every process opens the file at least once),
-# so it is disabled for this process — the role of the reference's
+# Multi-process access coordinates through our own global-device barriers
+# (phases of :meth:`HDF5File.write`); HDF5's advisory file locking would
+# deadlock that turn-taking (every process opens the main file at least
+# once), so it is disabled for this process — the role of the reference's
 # MPI-IO driver coordination (reference: io/h5py_file.py:33).
 os.environ.setdefault('HDF5_USE_FILE_LOCKING', 'FALSE')
+
+
+def _h5_mode():
+    return os.environ.get('MPI4PY_FFT_TPU_H5_MODE', 'vds')
 
 
 class HDF5File(FileBase):
@@ -34,6 +50,8 @@ class HDF5File(FileBase):
         FileBase.__init__(self, h5name, domain=domain)
         import h5py
         import jax
+        self._phase = None            # None | 'blocks' | 'stitch'
+        self._sidecar = None
         if jax.process_count() == 1 or jax.process_index() == 0:
             self.f = h5py.File(h5name, mode, **kw)
             self.close()
@@ -45,6 +63,8 @@ class HDF5File(FileBase):
     def _check_domain(self, group, field):
         """Store domain/mesh metadata + shape/rank attrs
         (reference: io/h5py_file.py:36-64)."""
+        if self._phase == 'blocks':
+            return                    # sidecar holds raw shards only
         if self.domain is None:
             self.domain = ((0, 2 * np.pi),) * field.dimensions
         assert len(self.domain) == field.dimensions
@@ -74,13 +94,40 @@ class HDF5File(FileBase):
         import h5py
         self.f = h5py.File(self.filename, mode)
 
+    # -- concurrent (VDS) machinery ------------------------------------
+    @staticmethod
+    def _blk_key(sl):
+        """Sidecar dataset name for one global hyperslab."""
+        return 'blk_' + '_'.join(f"{s.start}-{s.stop}" for s in sl)
+
+    def _sidecar_name(self, p):
+        return f"{self.filename}.p{p}.h5"
+
+    @staticmethod
+    def _owned_slabs(field):
+        """Yield ``(process_index, global_slice)`` for every distinct
+        shard of ``field`` across ALL processes — static pencil metadata,
+        computable everywhere without touching remote data.  Mirrors the
+        dedup rule of ``DistArray.addressable_blocks`` (first device
+        owning a replicated slab writes it)."""
+        if field._p0 is None or field.host_stored:
+            yield 0, tuple(slice(0, n) for n in field.global_shape)
+            return
+        seen = set()
+        for d, dev in enumerate(field._p0.mesh.devices.flat):
+            sl = field.local_slice(d)
+            if sl in seen:
+                continue
+            seen.add(sl)
+            yield dev.process_index, sl
+
     def write(self, step, fields, **kw):
         """Write snapshot ``step`` (reference: io/h5py_file.py:74-119).
 
         Each process writes only the hyperslabs of the shards it can
         address (the reference's per-rank mpio writes,
-        io/h5py_file.py:147-152).  Without an MPI-IO driver the processes
-        take turns on the file, serialized by a global device barrier."""
+        io/h5py_file.py:147-152).  Multi-process: concurrent sidecar
+        streams + VDS stitch by default; ``serial`` mode takes turns."""
         import jax
         if jax.process_count() == 1:
             self.open()
@@ -88,12 +135,36 @@ class HDF5File(FileBase):
             self.close()
             return
         from jax.experimental import multihost_utils
-        for p in range(jax.process_count()):
-            if jax.process_index() == p:
+        if _h5_mode() == 'serial':
+            for p in range(jax.process_count()):
+                if jax.process_index() == p:
+                    self.open()
+                    FileBase.write(self, step, fields, **kw)
+                    self.close()
+                multihost_utils.sync_global_devices(f"h5w{p}")
+            return
+        # ---- phase 1: every process streams its shards, in parallel ----
+        import h5py
+        self._phase = 'blocks'
+        try:
+            self._sidecar = h5py.File(
+                self._sidecar_name(jax.process_index()), 'a')
+            FileBase.write(self, step, fields, **kw)
+            self._sidecar.close()
+        finally:
+            self._sidecar = None
+            self._phase = None
+        multihost_utils.sync_global_devices("h5w_blocks")
+        # ---- phase 2: process 0 stitches virtual datasets --------------
+        if jax.process_index() == 0:
+            self._phase = 'stitch'
+            try:
                 self.open()
                 FileBase.write(self, step, fields, **kw)
                 self.close()
-            multihost_utils.sync_global_devices(f"h5w{p}")
+            finally:
+                self._phase = None
+        multihost_utils.sync_global_devices("h5w_stitch")
 
     def read(self, u, name, **kw):
         """Read whole snapshot into DistArray ``u``; data is resharded to
@@ -109,6 +180,8 @@ class HDF5File(FileBase):
     def _write_slice_step(self, name, step, slices, field, **kw):
         """Write a global slice of the array
         (reference: io/h5py_file.py:129-145)."""
+        if self._phase == 'blocks':
+            return                    # slices are emitted at stitch time
         rank = field.rank
         slices = list((slice(None),) * rank + tuple(slices))
         ndims = slices[rank:].count(slice(None))
@@ -128,10 +201,42 @@ class HDF5File(FileBase):
                 np.asarray(field)[tuple(slices)]
 
     def _write_group(self, name, u, step, **kw):
-        """Write the whole global array as per-shard hyperslabs — each
-        process touches only the blocks it can address
-        (reference: io/h5py_file.py:147-152)."""
+        """Write the whole global array.
+
+        Single process: per-shard hyperslabs straight into the dataset.
+        Multi-process 'blocks' phase: this process's shards into its
+        sidecar.  'stitch' phase: a virtual dataset mapping every
+        process's shard sources onto the global extent
+        (reference mpio analogue: io/h5py_file.py:147-152)."""
         group = "/".join((name, f"{u.dimensions}D"))
+        if self._phase == 'blocks':
+            sgrp = self._sidecar.require_group(
+                "/".join((group, str(step))))
+            for sl, block in u.addressable_blocks():
+                key = self._blk_key(sl)
+                if key in sgrp:
+                    sgrp[key][...] = block
+                else:
+                    sgrp.create_dataset(key, data=block)
+            return
+        if self._phase == 'stitch':
+            import h5py
+            layout = h5py.VirtualLayout(shape=u.global_shape,
+                                        dtype=u.dtype)
+            for p, sl in self._owned_slabs(u):
+                shape = tuple(s.stop - s.start for s in sl)
+                # sidecars sit next to the main file: relative source
+                # paths keep the file set relocatable as a unit
+                src = h5py.VirtualSource(
+                    os.path.basename(self._sidecar_name(p)),
+                    "/".join((group, str(step), self._blk_key(sl))),
+                    shape=shape, dtype=u.dtype)
+                layout[sl] = src
+            g = self.f.require_group(group)
+            if str(step) in g:
+                del g[str(step)]
+            g.create_virtual_dataset(str(step), layout)
+            return
         self.f.require_group(group)
         self.f[group].require_dataset(str(step), shape=u.global_shape,
                                       dtype=u.dtype)

@@ -101,18 +101,36 @@ a[...] = Y
 b = a.redistribute(2)
 check(np.allclose(np.asarray(b), Y), "redistribute across processes")
 
-# ---- HDF5 write (per-process hyperslab turns) + reshard-on-load -----------
+# ---- HDF5 concurrent (VDS) write + reshard-on-load ------------------------
+# default mode: every process streams its shards to a sidecar in
+# parallel, process 0 stitches a virtual dataset (the reference's
+# all-ranks-write-simultaneously mpio behavior, io/h5py_file.py:33,72)
 h5 = os.path.join(TMP, "mp.h5")
 u.write(h5, name="u", step=0)
 multihost.sync_global_devices("after-write")
 v = newDistArray(fft, False)
 v.read(h5, name="u", step=0)
-check(np.allclose(np.asarray(v), X), "HDF5 write/read roundtrip")
+check(np.allclose(np.asarray(v), X), "HDF5 concurrent write/read roundtrip")
 
 # read into a DIFFERENT decomposition (reader != writer, docs/io.rst:61-62)
 w = DistArray(shape, alignment=0, dtype='d')
 w.read(h5, name="u", step=0)
 check(np.allclose(np.asarray(w), X), "HDF5 reshard-on-load")
+
+# serialized turn-taking fallback must produce byte-identical data
+os.environ['MPI4PY_FFT_TPU_H5_MODE'] = 'serial'
+h5s = os.path.join(TMP, "mp_serial.h5")
+u.write(h5s, name="u", step=0)
+multihost.sync_global_devices("after-write-serial")
+del os.environ['MPI4PY_FFT_TPU_H5_MODE']
+if PROC == 0:
+    import h5py
+    with h5py.File(h5, 'r') as fv, h5py.File(h5s, 'r') as fs:
+        dv = np.asarray(fv["u/3D/0"])
+        ds = np.asarray(fs["u/3D/0"])
+    check(dv.tobytes() == ds.tobytes(),
+          "VDS and serial writes byte-identical")
+multihost.sync_global_devices("after-compare")
 
 multihost.sync_global_devices("done")
 print(f"[proc {PROC}] ALL OK", flush=True)
