@@ -185,6 +185,13 @@ def _butterfly_large_split(shape, axis, dtype):
     Q = pb._MAX_N
     if N <= Q or N & (N - 1):
         return None
+    if N > pb._MAX_N_AXIS:
+        # long-axis extension (N = 2048/4096): wrap the LONGEST fused
+        # kernel length so the outer stage stays a tiny R <= 4 — the
+        # kernel does the heavy lifting and no full-volume einsum temp
+        # of the old dense fallback is materialized
+        # (ops/pallas_butterfly.py:50-58)
+        Q = pb._MAX_N_AXIS
     R = N // Q
     if R > 4:
         return None

@@ -45,7 +45,8 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ['fft_axis_p', 'supported_axis', 'rfft_axis_p',
            'irfft_axis_p', 'supported_c2r', 'fft_plane_p',
            'supported_plane', 'fft_plane_large_p', 'supported_plane_large',
-           'fft_axis2_p', 'supported_axis_split']
+           'fft_axis2_p', 'supported_axis_split',
+           'fft_axis_tp', 'supported_axis_tp']
 
 _LANE = 128
 _SUB = 8
@@ -451,6 +452,35 @@ def _butterfly(xr, xi, tw_ref, N, sign, scale=None):
     return _finish(xr, xi, scale)
 
 
+def _trunc_rows(v, N, Nt):
+    """Reference spectral truncation (libfft.truncate_planar,
+    non-hermitian) on the frequency-major (N, ...) state: keep the
+    lowest |k| modes, folding the Nyquist pair for even Nt
+    (reference: libfft.py:263-284)."""
+    if Nt % 2 == 0:
+        h = Nt // 2
+        return jnp.concatenate(
+            [v[:h], v[h:h + 1] + v[N - h:N - h + 1], v[N - h + 1:]],
+            axis=0)
+    m = Nt // 2
+    return jnp.concatenate([v[:m + 1], v[N - m:]], axis=0)
+
+
+def _pad_rows(v, N, Nt):
+    """Reference spectral zero-padding (libfft.pad_planar,
+    non-hermitian) on the frequency-major (Nt, ...) state: symmetric
+    Fourier interpolator, Nyquist split in half for even Nt
+    (reference: libfft.py:286-311)."""
+    if Nt % 2 == 0:
+        h = Nt // 2
+        half = v[h:h + 1] * 0.5
+        z = jnp.zeros((N - Nt - 1,) + v.shape[1:], v.dtype)
+        return jnp.concatenate([v[:h], half, z, half, v[h + 1:]], axis=0)
+    m = Nt // 2
+    z = jnp.zeros((N - Nt,) + v.shape[1:], v.dtype)
+    return jnp.concatenate([v[:m + 1], z, v[m + 1:]], axis=0)
+
+
 def _butterfly2(ra, ia, rb, ib, tw_ref, N, sign, scale=None):
     """Split-input butterfly: the transform axis arrives as TWO halves
     (rows 0..N/2 in a, N/2..N in b).  The first stage gathers its slabs
@@ -495,6 +525,46 @@ def _kern_mid(x_ref, tw_ref, o_ref, *, N, sign, scale):
     r, i = _butterfly(xr, xi, tw_ref, N, sign, scale)
     o_ref[0] = jnp.transpose(r, (1, 0, 2))
     o_ref[1] = jnp.transpose(i, (1, 0, 2))
+
+
+def _kern_mid_t(x_ref, tw_ref, o_ref, *, N, Nt, sign, scale):
+    """Mid-axis transform + fused spectral truncation: block in
+    (2, 8, N, 128) -> out (2, 8, Nt, 128).  The separate slice pass of
+    the 3/2-rule dealiasing path collapses into this kernel's HBM
+    write (reference semantics: libfft.py:263-284)."""
+    xr = jnp.transpose(x_ref[0], (1, 0, 2))
+    xi = jnp.transpose(x_ref[1], (1, 0, 2))
+    r, i = _butterfly(xr, xi, tw_ref, N, sign, scale)
+    o_ref[0] = jnp.transpose(_trunc_rows(r, N, Nt), (1, 0, 2))
+    o_ref[1] = jnp.transpose(_trunc_rows(i, N, Nt), (1, 0, 2))
+
+
+def _kern_mid_pd(x_ref, tw_ref, o_ref, *, N, Nt, sign, scale):
+    """Fused spectral zero-padding + mid-axis transform: block in
+    (2, 8, Nt, 128) -> out (2, 8, N, 128)
+    (reference semantics: libfft.py:286-311)."""
+    xr = _pad_rows(jnp.transpose(x_ref[0], (1, 0, 2)), N, Nt)
+    xi = _pad_rows(jnp.transpose(x_ref[1], (1, 0, 2)), N, Nt)
+    r, i = _butterfly(xr, xi, tw_ref, N, sign, scale)
+    o_ref[0] = jnp.transpose(r, (1, 0, 2))
+    o_ref[1] = jnp.transpose(i, (1, 0, 2))
+
+
+def _kern_lead_t(x_ref, tw_ref, o_ref, *, N, Nt, sign, scale):
+    """Lead-axis transform + fused truncation: (2, N, 8, 128) ->
+    (2, Nt, 8, 128)."""
+    r, i = _butterfly(x_ref[0], x_ref[1], tw_ref, N, sign, scale)
+    o_ref[0] = _trunc_rows(r, N, Nt)
+    o_ref[1] = _trunc_rows(i, N, Nt)
+
+
+def _kern_lead_pd(x_ref, tw_ref, o_ref, *, N, Nt, sign, scale):
+    """Fused zero-padding + lead-axis transform: (2, Nt, 8, 128) ->
+    (2, N, 8, 128)."""
+    r, i = _butterfly(_pad_rows(x_ref[0], N, Nt),
+                      _pad_rows(x_ref[1], N, Nt), tw_ref, N, sign, scale)
+    o_ref[0] = r
+    o_ref[1] = i
 
 
 def _kern_mid_w(x_ref, tw_ref, o_ref, *, N, sign, scale):
@@ -741,6 +811,140 @@ def fft_axis_p(p, axis, forward=True, interpret=None, scale=None,
     sign = -1 if forward else +1
     return _dispatch(p, axis, sign, interpret,
                      None if scale is None else float(scale), oop)
+
+
+# ---------------------------------------------------------------------------
+# fused 3/2-rule dealiasing kernels — truncation/zero-padding folded into
+# the transform's own HBM pass
+# ---------------------------------------------------------------------------
+
+def supported_axis_tp(shape, axis, dtype, trunc=None, pad=None):
+    """Gate for :func:`fft_axis_tp`: c2c transform with fused spectral
+    truncation (``trunc=Nt``) or fused zero-padding (``pad=Np``) along
+    ``axis``.  ``shape`` is the complex input shape.  Lead/mid axis
+    positions only (the last axis of the dealiased pipeline is the
+    Hermitian r2c side, handled separately)."""
+    assert (trunc is None) != (pad is None)
+    if np.dtype(dtype) != np.float32:
+        return False
+    nd = len(shape)
+    axis = axis % nd
+    N = shape[axis] if trunc is not None else int(pad)
+    Nt = int(trunc) if trunc is not None else shape[axis]
+    if not (0 < Nt < N) or not _supported_len(N) or N > _MAX_N_AXIS:
+        return False
+    if axis == nd - 1:
+        return False
+    pre = int(np.prod(shape[:axis], dtype=np.int64)) if axis else 1
+    post = int(np.prod(shape[axis + 1:], dtype=np.int64))
+    if pre == 1:
+        return post >= _LANE
+    return pre % _SUB == 0 and post >= _LANE
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('axis', 'sign', 'interpret', 'scale',
+                                    'trunc', 'pad'))
+def _dispatch_tp(p, axis, sign, interpret, scale, trunc, pad):
+    shape = p.shape[1:]
+    nd = len(shape)
+    Nin = shape[axis]
+    N = Nin if trunc is not None else int(pad)        # transform length
+    Nout = int(trunc) if trunc is not None else int(pad)
+    dtype_str = np.dtype(p.dtype).name
+    pre = int(np.prod(shape[:axis], dtype=np.int64)) if axis else 1
+    post = int(np.prod(shape[axis + 1:], dtype=np.int64))
+    tw_small = jnp.asarray(_tw_pack(N, sign, dtype_str))
+    tw = jnp.broadcast_to(tw_small[:, :, None, None],
+                          (2, tw_small.shape[1], _SUB, _LANE))
+    tw_spec = _bspec((2, tw_small.shape[1], _SUB, _LANE),
+                     lambda *g: (0, 0, 0, 0), memory_space=pltpu.VMEM)
+    kf = dict(N=N, Nt=(int(trunc) if trunc is not None else Nin),
+              sign=sign, scale=scale)
+    kern_lead = _kern_lead_t if trunc is not None else _kern_lead_pd
+    kern_mid = _kern_mid_t if trunc is not None else _kern_mid_pd
+    kw = {}
+    cp = _cparams(N)
+    if cp is not None and not interpret:
+        kw['compiler_params'] = cp
+
+    def call(kern, x, bin_, bout, imap, grid, out_shape):
+        return pl.pallas_call(
+            functools.partial(kern, **kf),
+            out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
+            grid=grid,
+            in_specs=[_bspec(bin_, imap, memory_space=pltpu.VMEM),
+                      tw_spec],
+            out_specs=_bspec(bout, imap, memory_space=pltpu.VMEM),
+            interpret=interpret,
+            **kw,
+        )(x, tw)
+
+    out_shape = (2,) + shape[:axis] + (Nout,) + shape[axis + 1:]
+    if pre == 1:
+        if p.ndim == 4 and p.shape[3] % _LANE == 0                 and p.shape[2] % _SUB == 0:
+            out = call(kern_lead, p,
+                       (2, Nin, _SUB, _LANE), (2, Nout, _SUB, _LANE),
+                       lambda i, j: (0, 0, i, j),
+                       (p.shape[2] // _SUB, p.shape[3] // _LANE),
+                       (2, Nout) + p.shape[2:])
+            return out
+        x = p.reshape(2, Nin, post)
+        Q = _SUB * _LANE
+        out = call(functools.partial(_kern_lead1_tp, tp_kern=kern_lead),
+                   x, (2, Nin, Q), (2, Nout, Q),
+                   lambda i: (0, 0, i), (_cdiv(post, Q),),
+                   (2, Nout, post))
+        return out.reshape(out_shape)
+    x = p.reshape(2, pre, Nin, post)
+    out = call(kern_mid, x,
+               (2, _SUB, Nin, _LANE), (2, _SUB, Nout, _LANE),
+               lambda i, j: (0, i, 0, j),
+               (pre // _SUB, _cdiv(post, _LANE)),
+               (2, pre, Nout, post))
+    return out.reshape(out_shape)
+
+
+def _kern_lead1_tp(x_ref, tw_ref, o_ref, *, tp_kern, N, Nt, sign, scale):
+    """Ragged-lane lead wrapper: (2, Nin, 1024) blocks viewed as
+    (2, Nin, 8, 128) for the fused lead kernels."""
+    nin, nout = x_ref.shape[1], o_ref.shape[1]
+
+    class _V:
+        def __init__(self, ref, n):
+            self.ref, self.n = ref, n
+            self.shape = (2, n, _SUB, _LANE)
+
+        def __getitem__(self, i):
+            return self.ref[i].reshape(self.n, _SUB, _LANE)
+
+        def __setitem__(self, i, v):
+            self.ref[i] = v.reshape(self.n, _SUB * _LANE)
+
+    tp_kern(_V(x_ref, nin), tw_ref, _V(o_ref, nout),
+            N=N, Nt=Nt, sign=sign, scale=scale)
+
+
+def fft_axis_tp(p, axis, forward=True, trunc=None, pad=None,
+                interpret=None, scale=None):
+    """Planar c2c FFT along ``axis`` with the 3/2-rule dealiasing
+    boundary fused into the kernel's HBM pass: ``trunc=Nt`` truncates
+    the spectrum to Nt inside the kernel write (forward dealiasing),
+    ``pad=Np`` zero-pads an Nt-extent spectrum to the Np-point
+    transform inside the kernel read (backward dealiasing).  Exactly
+    one of trunc/pad must be given.  Out-of-place by construction
+    (in/out extents differ).  Reference semantics: libfft.py:263-311.
+    """
+    assert (trunc is None) != (pad is None)
+    nd = p.ndim - 1
+    axis = axis % nd
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    sign = -1 if forward else +1
+    return _dispatch_tp(p, axis, sign, interpret,
+                        None if scale is None else float(scale),
+                        None if trunc is None else int(trunc),
+                        None if pad is None else int(pad))
 
 
 # ---------------------------------------------------------------------------

@@ -33,6 +33,17 @@ from .comm import COMM_WORLD
 __all__ = ['PlanarPFFT']
 
 
+def _fused_tp_on():
+    """Fused dealiasing kernels dispatch on the chip (and under
+    MPI4PY_FFT_TPU_FUSED_TP=force for interpret-mode test coverage);
+    'off' restores the separate truncate/pad passes."""
+    import os
+    mode = os.environ.get('MPI4PY_FFT_TPU_FUSED_TP', 'auto')
+    if mode == 'off':
+        return False
+    return mode == 'force' or jax.default_backend() == 'tpu'
+
+
 def _local_fft1d(p, ax, forward, scale=None):
     """Per-shard 1-D planar transform with explicit butterfly-kernel
     dispatch (inside shard_map the engine's single-device auto check does
@@ -308,12 +319,22 @@ class PlanarPFFT(object):
             folded = folded or sc is not None
 
             def chain(pc, i=i, ax=ax, sc=sc):
+                from ..ops import pallas_butterfly as _pb
                 pc = self._transpose_lax(pc, i, True)
                 pc = self._slice_ax(pc, 1 + ax, self._input_shape[ax])
-                pc = _local_fft1d(pc, ax, True, scale=sc)
-                if self._padded(ax):
-                    pc = truncate_planar(pc, 1 + ax, self._trunc[ax],
-                                         hermitian=False)
+                if self._padded(ax) and _fused_tp_on() and \
+                        _pb.supported_axis_tp(
+                            pc.shape[1:], ax, pc.dtype,
+                            trunc=self._trunc[ax]):
+                    # dealiasing truncation fused into the kernel's own
+                    # HBM write — no separate slice pass
+                    pc = _pb.fft_axis_tp(pc, ax, True,
+                                         trunc=self._trunc[ax], scale=sc)
+                else:
+                    pc = _local_fft1d(pc, ax, True, scale=sc)
+                    if self._padded(ax):
+                        pc = truncate_planar(pc, 1 + ax, self._trunc[ax],
+                                             hermitian=False)
                 return self._pad_ax(pc, 1 + ax, self._spec_pad_shape[ax])
             p = self._overlapped_step(p, i, ax, chain)
         if normalize and not folded:
@@ -345,11 +366,20 @@ class PlanarPFFT(object):
         for i, ax in enumerate(axes[:-1]):
 
             def chain(pc, i=i, ax=ax):
+                from ..ops import pallas_butterfly as _pb
                 pc = self._slice_ax(pc, 1 + ax, self._trunc[ax])
-                if self._padded(ax):
-                    pc = pad_planar(pc, 1 + ax, self._input_shape[ax],
-                                    hermitian=False)
-                pc = _local_fft1d(pc, ax, False)
+                if self._padded(ax) and _fused_tp_on() and \
+                        _pb.supported_axis_tp(
+                            pc.shape[1:], ax, pc.dtype,
+                            pad=self._input_shape[ax]):
+                    # zero-padding fused into the kernel's own HBM read
+                    pc = _pb.fft_axis_tp(pc, ax, False,
+                                         pad=self._input_shape[ax])
+                else:
+                    if self._padded(ax):
+                        pc = pad_planar(pc, 1 + ax, self._input_shape[ax],
+                                        hermitian=False)
+                    pc = _local_fft1d(pc, ax, False)
                 pc = self._pad_ax(pc, 1 + ax, self._phys_pad_shape[ax])
                 return self._transpose_lax(pc, len(axes) - 2 - i, False)
             p = self._overlapped_step(p, len(axes) - 2 - i, ax, chain)

@@ -136,7 +136,7 @@ def main():
           f"({gb_pass:.1f} GB/pair-call)", flush=True)
     only = os.environ.get('PROBE_ONLY', '')
     for tag, f in variants.items():
-        if only and only not in tag:
+        if only and only != tag:
             continue
         probe(tag, f)
 

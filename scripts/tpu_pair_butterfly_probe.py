@@ -94,7 +94,7 @@ def main():
                                               scale=0.5)))
 
     for tag, mb, f in cases:
-        if only and only not in tag:
+        if only and only != tag:
             continue
         pb._cparams = orig_cparams if mb is None else with_vmem(mb)
         try:

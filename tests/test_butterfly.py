@@ -176,6 +176,38 @@ def test_four_step_large_axis(shape, axis, forward):
     assert rel < 5e-6, rel
 
 
+@pytest.mark.parametrize('shape,axis', [
+    ((2048, 8, 128), 0),     # DIT lead, N=2048 (beyond the fused cap)
+    ((8, 2048, 128), 1),     # DIF mid
+    ((4096, 8, 128), 0),     # DIT lead, N=4096
+    ((8, 4096, 128), 1),     # DIF mid
+])
+@pytest.mark.parametrize('forward', [True, False])
+def test_four_step_beyond_fused_cap(shape, axis, forward):
+    """N > _MAX_N_AXIS (1024): the four-step wraps the LONGEST fused
+    kernel (Q=1024) with a tiny outer R<=4 stage instead of falling to
+    the dense einsum engine and its full-volume HLO temps (VERDICT r3
+    weak #7)."""
+    rng = np.random.default_rng(23)
+    z = (rng.standard_normal(shape)
+         + 1j * rng.standard_normal(shape)).astype(np.complex64)
+    p = jnp.asarray(np.stack([z.real, z.imag]))
+    matfft.set_butterfly_mode('on')
+    try:
+        split = matfft._butterfly_large_split(shape, axis, np.float32)
+        assert split is not None and split[1] == 1024
+        y = matfft.fft1d_p(p, axis, forward)
+    finally:
+        matfft.set_butterfly_mode('auto')
+    got = np.asarray(y[0]) + 1j * np.asarray(y[1])
+    if forward:
+        ref = np.fft.fft(z, axis=axis)
+    else:
+        ref = np.fft.ifft(z, axis=axis) * shape[axis]
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 5e-6, rel
+
+
 def test_four_step_gates():
     # post too small for DIT, R > 4, non-pow2, f64
     matfft.set_butterfly_mode('on')
@@ -184,7 +216,10 @@ def test_four_step_gates():
         # (1024, 8, 16) IS now supported (ragged lane blocks); a post
         # below one lane tile is not
         assert ls((1024, 2, 4), 0, np.float32) is None
-        assert ls((8, 2048, 128), 1, np.float32) is None
+        # 2048 is a supported long-axis split now (Q=1024, R=2);
+        # 8192 (R=8) is not
+        assert ls((8, 2048, 128), 1, np.float32) == (2, 1024, False)
+        assert ls((8, 8192, 128), 1, np.float32) is None
         assert ls((8, 768, 128), 1, np.float32) is None
         assert ls((8, 512, 128), 1, np.float64) is None
         assert ls((8, 512, 128), 1, np.float32) is not None

@@ -254,3 +254,30 @@ def test_shardmap_dealiasing():
     yh3 = pfft.forward(u2, normalize=True)
     a, b = np.asarray(yh2), np.asarray(yh3)
     assert np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-30) < 1e-5
+
+
+def test_fused_dealiasing_matches_separate(monkeypatch):
+    """The fused truncate/pad kernels (ops/pallas_butterfly.fft_axis_tp)
+    must reproduce the separate slice/pad passes through the whole
+    padded pipeline (reference 3/2-rule semantics: libfft.py:263-311)."""
+    import os
+    from mpi4py_fft_tpu.parallel.planar import PlanarPFFT
+    shape = (16, 16, 16)
+    rng = np.random.default_rng(31)
+    # padded transforms take the PADDED physical array (24^3 for 16^3
+    # with the 3/2 rule), reference mpifft.py:247-253 semantics
+    x = rng.standard_normal((24, 24, 24)).astype(np.float32)
+
+    def run():
+        pfft = PlanarPFFT(None, shape, dtype='f', padding=1.5)
+        xh = jax.jit(lambda v: pfft.forward_fn(v))(jnp.asarray(x))
+        xb = jax.jit(lambda v: pfft.backward_fn(v, normalize=False))(
+            jnp.asarray(xh))
+        return np.asarray(xh), np.asarray(xb)
+
+    monkeypatch.setenv('MPI4PY_FFT_TPU_FUSED_TP', 'off')
+    h0, b0 = run()
+    monkeypatch.setenv('MPI4PY_FFT_TPU_FUSED_TP', 'force')
+    h1, b1 = run()
+    assert np.abs(h1 - h0).max() <= 1e-6 * np.abs(h0).max()
+    assert np.abs(b1 - b0).max() <= 1e-6 * np.abs(b0).max()
