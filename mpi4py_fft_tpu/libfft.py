@@ -421,6 +421,20 @@ class FFT(FFTBase):
         """Pure planar forward stage: transform, truncation, normalization
         (pipeline form of :meth:`forward_fn`)."""
         assert not self._host_backend
+        if abs(self.padding_factor - 1.0) > 1e-8 \
+                and not self.real_transform and len(self.axes) == 1 \
+                and self.input_planar and self.output_planar:
+            # single-axis padded c2c stage: fold the 3/2-rule truncation
+            # into the kernel's HBM write (ops/pallas_butterfly.fft_axis_tp)
+            from .ops import pallas_butterfly as _pb
+            ax = self.axes[-1]
+            Nt = self.forward.output_array.shape[ax]
+            if _pb.fused_tp_enabled() and _pb.supported_axis_tp(
+                    p.shape[1:], ax, p.dtype, trunc=Nt):
+                y = _pb.fft_axis_tp(p, ax, True, trunc=Nt)
+                if normalize:
+                    y = y * jnp.asarray(self.M, dtype=y.dtype)
+                return y
         y = self.fwd.fn_p(p, normalize=False)
         if abs(self.padding_factor - 1.0) > 1e-8:
             axis = self.axes[-1]
@@ -442,6 +456,18 @@ class FFT(FFTBase):
         """Pure planar backward stage: zero-padding, transform
         (pipeline form of :meth:`backward_fn`)."""
         assert not self._host_backend
+        if abs(self.padding_factor - 1.0) > 1e-8 \
+                and not self.real_transform and len(self.axes) == 1 \
+                and self.bck.input_planar and self.bck.output_planar:
+            from .ops import pallas_butterfly as _pb
+            ax = self.axes[-1]
+            Np = self.bck.input_array.shape[ax]
+            if _pb.fused_tp_enabled() and _pb.supported_axis_tp(
+                    p.shape[1:], ax, p.dtype, pad=Np):
+                y = _pb.fft_axis_tp(p, ax, False, pad=Np)
+                if normalize:
+                    y = y * jnp.asarray(self.M, dtype=y.dtype)
+                return y
         if abs(self.padding_factor - 1.0) > 1e-8:
             axis = self.axes[-1]
             Np = self.bck.input_array.shape[axis]

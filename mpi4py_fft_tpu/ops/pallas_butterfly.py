@@ -46,7 +46,7 @@ __all__ = ['fft_axis_p', 'supported_axis', 'rfft_axis_p',
            'irfft_axis_p', 'supported_c2r', 'fft_plane_p',
            'supported_plane', 'fft_plane_large_p', 'supported_plane_large',
            'fft_axis2_p', 'supported_axis_split',
-           'fft_axis_tp', 'supported_axis_tp']
+           'fft_axis_tp', 'supported_axis_tp', 'fused_tp_enabled']
 
 _LANE = 128
 _SUB = 8
@@ -817,6 +817,16 @@ def fft_axis_p(p, axis, forward=True, interpret=None, scale=None,
 # fused 3/2-rule dealiasing kernels — truncation/zero-padding folded into
 # the transform's own HBM pass
 # ---------------------------------------------------------------------------
+
+def fused_tp_enabled():
+    """Fused dealiasing kernels dispatch on the chip (and under
+    MPI4PY_FFT_TPU_FUSED_TP=force for interpret-mode test coverage);
+    'off' restores the separate truncate/pad passes."""
+    mode = _os.environ.get('MPI4PY_FFT_TPU_FUSED_TP', 'auto')
+    if mode == 'off':
+        return False
+    return mode == 'force' or jax.default_backend() == 'tpu'
+
 
 def supported_axis_tp(shape, axis, dtype, trunc=None, pad=None):
     """Gate for :func:`fft_axis_tp`: c2c transform with fused spectral

@@ -27,21 +27,11 @@ from jax.sharding import PartitionSpec
 from .mpifft import shmap as _checkfree_shard_map
 
 from ..ops import matfft
+from ..ops.pallas_butterfly import fused_tp_enabled as pb_fused_tp_enabled
 from .pencil import Pencil, Subcomm
 from .comm import COMM_WORLD
 
 __all__ = ['PlanarPFFT']
-
-
-def _fused_tp_on():
-    """Fused dealiasing kernels dispatch on the chip (and under
-    MPI4PY_FFT_TPU_FUSED_TP=force for interpret-mode test coverage);
-    'off' restores the separate truncate/pad passes."""
-    import os
-    mode = os.environ.get('MPI4PY_FFT_TPU_FUSED_TP', 'auto')
-    if mode == 'off':
-        return False
-    return mode == 'force' or jax.default_backend() == 'tpu'
 
 
 def _local_fft1d(p, ax, forward, scale=None):
@@ -322,7 +312,7 @@ class PlanarPFFT(object):
                 from ..ops import pallas_butterfly as _pb
                 pc = self._transpose_lax(pc, i, True)
                 pc = self._slice_ax(pc, 1 + ax, self._input_shape[ax])
-                if self._padded(ax) and _fused_tp_on() and \
+                if self._padded(ax) and pb_fused_tp_enabled() and \
                         _pb.supported_axis_tp(
                             pc.shape[1:], ax, pc.dtype,
                             trunc=self._trunc[ax]):
@@ -368,7 +358,7 @@ class PlanarPFFT(object):
             def chain(pc, i=i, ax=ax):
                 from ..ops import pallas_butterfly as _pb
                 pc = self._slice_ax(pc, 1 + ax, self._trunc[ax])
-                if self._padded(ax) and _fused_tp_on() and \
+                if self._padded(ax) and pb_fused_tp_enabled() and \
                         _pb.supported_axis_tp(
                             pc.shape[1:], ax, pc.dtype,
                             pad=self._input_shape[ax]):

@@ -281,3 +281,28 @@ def test_fused_dealiasing_matches_separate(monkeypatch):
     h1, b1 = run()
     assert np.abs(h1 - h0).max() <= 1e-6 * np.abs(h0).max()
     assert np.abs(b1 - b0).max() <= 1e-6 * np.abs(b0).max()
+
+
+def test_fused_dealiasing_pfft_stages(monkeypatch):
+    """The libfft stage functions also dispatch the fused dealiasing
+    kernels (single-axis padded c2c stages of a PFFT pipeline); results
+    must match the separate-pass path."""
+    from mpi4py_fft_tpu import PFFT
+    shape = (16, 16, 16)
+    rng = np.random.default_rng(33)
+    uh = rng.standard_normal((2, 16, 16, 9)).astype(np.float32)
+
+    def run():
+        fft = PFFT(None, shape, dtype='f', padding=[1.5, 1.5, 1.5])
+        assert tuple(uh.shape[1:]) == fft.shape(True)
+        up = jax.jit(lambda p: fft.backward.fn_p(p, False))(
+            jnp.asarray(uh))
+        uh2 = jax.jit(lambda u: fft.forward.fn_p(u, True))(up)
+        return np.asarray(up), np.asarray(uh2)
+
+    monkeypatch.setenv('MPI4PY_FFT_TPU_FUSED_TP', 'off')
+    p0, h0 = run()
+    monkeypatch.setenv('MPI4PY_FFT_TPU_FUSED_TP', 'force')
+    p1, h1 = run()
+    assert np.abs(p1 - p0).max() <= 1e-6 * np.abs(p0).max()
+    assert np.abs(h1 - h0).max() <= 1e-6 * np.abs(h0).max()
