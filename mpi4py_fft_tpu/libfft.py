@@ -259,6 +259,46 @@ def _plan_scipy(shape, axes, dtype, transforms, options):
             _Yfftn_wrap(plan_bck, V, U, M, {'shape': s, 'axes': axes}))
 
 
+def _plan_torch(shape, axes, dtype, transforms, options):
+    """torch.fft (CPU) planner — a genuinely independent FFT
+    implementation (pocketfft-derived C++ path through ATen) for
+    backend cross-validation, the role the reference's distinct
+    pyfftw/mkl_fft planners play (reference: libfft.py:5-46,104-126).
+    Custom ``transforms`` entries are numpy-convention callables, as in
+    the numpy backend."""
+    import torch
+    transforms = {} if transforms is None else transforms
+    s = tuple(np.take(shape, axes))
+    if tuple(axes) in transforms:
+        plan_fwd, plan_bck = transforms[tuple(axes)]
+        U = fftw.aligned(shape, dtype=dtype)
+        V = plan_fwd(U, s=s, axes=axes).astype(np.dtype(dtype).char.upper())
+        V = fftw.aligned_like(V)
+        M = np.prod(s)
+        return (_Yfftn_wrap(plan_fwd, U, V, 1, {'s': s, 'axes': axes}),
+                _Yfftn_wrap(plan_bck, V, U, M, {'s': s, 'axes': axes}))
+    real = np.issubdtype(dtype, np.floating)
+
+    def _np(fn, norm):
+        def run(u, s=None, axes=None):
+            out = fn(torch.from_numpy(np.ascontiguousarray(u)),
+                     s=tuple(int(x) for x in s), dim=tuple(axes),
+                     norm=norm)
+            return out.numpy()
+        return run
+    if real:
+        plan_fwd = _np(torch.fft.rfftn, 'backward')   # unscaled fwd
+        plan_bck = _np(torch.fft.irfftn, 'forward')   # unscaled bwd
+    else:
+        plan_fwd = _np(torch.fft.fftn, 'backward')
+        plan_bck = _np(torch.fft.ifftn, 'forward')
+    U = fftw.aligned(shape, dtype=dtype)
+    V = plan_fwd(U, s=s, axes=axes).astype(np.dtype(dtype).char.upper())
+    V = fftw.aligned_like(V)
+    return (_Yfftn_wrap(plan_fwd, U, V, 1, {'s': s, 'axes': axes}),
+            _Yfftn_wrap(plan_bck, V, U, 1, {'s': s, 'axes': axes}))
+
+
 class _Xfftn_wrap(object):
     """Common buffer-style interface for serial transforms
     (reference: libfft.py:187-219)."""
@@ -326,10 +366,12 @@ class FFT(FFTBase):
             'numpy': _plan_numpy,
             'mkl_fft': _plan_numpy,  # host alias
             'scipy': _plan_scipy,
+            'torch': _plan_torch,
         }
         plan = backend_map[backend]
         self.backend = backend
-        self._host_backend = plan in (_plan_numpy, _plan_scipy)
+        self._host_backend = plan in (_plan_numpy, _plan_scipy,
+                                      _plan_torch)
         self.fwd, self.bck = plan(self.shape, self.axes, self.dtype,
                                   transforms, kw)
         U, V = self.fwd.input_array, self.fwd.output_array

@@ -17,7 +17,7 @@ abstol = dict(f=5e-5, d=1e-13)
 
 # 'jax' is the native XLA/MXU path; numpy/scipy are host cross-checks
 # (role of the reference's 5-backend list, tests/test_libfft.py:10-15)
-backends = ['jax', 'numpy', 'scipy']
+backends = ['jax', 'numpy', 'scipy', 'torch']
 
 
 def allclose(a, b):
@@ -55,7 +55,7 @@ def test_libfft(backend):
                     assert allclose(A, X), np.linalg.norm(A - X)
 
 
-@pytest.mark.parametrize("backend", ['jax', 'numpy'])
+@pytest.mark.parametrize("backend", ['jax', 'numpy', 'torch'])
 def test_libfft_padding(backend):
     """fwd∘bwd∘fwd == fwd fixed point with 3/2 and 2.0 padding
     (reference: tests/test_libfft.py:64-98)."""

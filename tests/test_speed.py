@@ -114,13 +114,13 @@ def test_speed_r2c():
 def test_speed_backends():
     """libfft backend-vs-backend table (the reference's pyfftw/fftw/
     scipy three-way comparison, tests/test_speed.py:40-66; here the
-    genuinely distinct planners are jax, numpy and scipy —
+    genuinely distinct planners are jax, numpy, scipy and torch —
     fftw/pyfftw/mkl alias the jax engine, docs/installation.md)."""
     rng = np.random.default_rng(2)
     A = (rng.random(N) + 1j * rng.random(N)).astype('D')
 
     results = {}
-    for backend in ('jax', 'numpy', 'scipy'):
+    for backend in ('jax', 'numpy', 'scipy', 'torch'):
         fft = FFT(N, axes=(0, 1, 2), dtype='D', backend=backend)
         fft.forward.input_array[...] = A
         results[backend] = (_time(lambda: fft.forward()),
