@@ -37,7 +37,8 @@ import jax.numpy as jnp
 
 from . import pallas_butterfly as pb
 
-__all__ = ['supported_q', 'split_q', 'assemble_q', 'fft3_q']
+__all__ = ['supported_q', 'split_q', 'assemble_q', 'fft3_q',
+           'supported_8', 'split_8', 'assemble_8', 'fft3_8']
 
 
 def supported_q(shape, dtype):
@@ -89,3 +90,76 @@ def fft3_q(qs, forward=True, scale=None, interpret=None):
     q10, q11 = pb.fft_axis2_p(q10, q11, 2, forward, interpret=interpret,
                               scale=scale)
     return (q00, q01, q10, q11)
+
+
+# ---------------------------------------------------------------------------
+# eighths schedule — every pass an out-of-place pair, minimum in-flight
+# memory
+# ---------------------------------------------------------------------------
+#
+# Splitting the volume in HALF along ALL THREE axes makes every pass a
+# pure out-of-place 2-in/2-out pair (full transform axis rebuilt from
+# two pieces in VMEM) with only 2 pieces (2.15 GB at 1024^3) in flight:
+# peak HBM = 8 pieces + 2 = 10.75 GB vs the quartered schedule's
+# 12.9 GB.  Measured throughput is the SAME as quartered (83.6 vs
+# 82.4 ms at 1024^3) — the chain is VPU-compute-bound, not DMA-bound
+# (docs/benchmarks.md round-4 dissection) — so this schedule's value is
+# the 2.15 GB of extra HBM headroom, not speed.
+
+def supported_8(shape, dtype):
+    """True if ``fft3_8`` supports a planar volume of complex shape
+    ``shape`` (3-D) for this dtype."""
+    if len(shape) != 3 or np.dtype(dtype) != np.float32:
+        return False
+    X, Y, Z = shape
+    if X % 2 or Y % 2 or Z % 2:
+        return False
+    e = (X // 2, Y // 2, Z // 2)
+    return (pb.supported_axis_split(e, 0, dtype)
+            and pb.supported_axis_split(e, 1, dtype)
+            and pb.supported_axis_split(e, 2, dtype))
+
+
+def split_8(p):
+    """Planar volume (2, X, Y, Z) -> tuple of 8 eighths
+    E[i*4 + j*2 + k] = p[:, i*X/2:(i+1)*X/2, j*Y/2:.., k*Z/2:..]."""
+    hx, hy, hz = p.shape[1] // 2, p.shape[2] // 2, p.shape[3] // 2
+    return tuple(
+        p[:, i * hx:(i + 1) * hx, j * hy:(j + 1) * hy,
+          k * hz:(k + 1) * hz]
+        for i in (0, 1) for j in (0, 1) for k in (0, 1))
+
+
+def assemble_8(es):
+    """Inverse of ``split_8``."""
+    rows = []
+    for i in (0, 1):
+        cols = []
+        for j in (0, 1):
+            cols.append(jnp.concatenate(
+                [es[4 * i + 2 * j], es[4 * i + 2 * j + 1]], axis=3))
+        rows.append(jnp.concatenate(cols, axis=2))
+    return jnp.concatenate(rows, axis=1)
+
+
+def fft3_8(es, forward=True, scale=None, interpret=None):
+    """3-D c2c transform of an eighths-split planar volume; ``scale``
+    (if given) folds into the final (z) pass in-VMEM."""
+    es = list(es)
+    for i in (0, 1):                    # y pass: pair over j
+        for k in (0, 1):
+            a, b = es[4 * i + k], es[4 * i + 2 + k]
+            a, b = pb.fft_axis2_p(a, b, 1, forward, interpret=interpret)
+            es[4 * i + k], es[4 * i + 2 + k] = a, b
+    for j in (0, 1):                    # x pass: pair over i
+        for k in (0, 1):
+            a, b = es[2 * j + k], es[4 + 2 * j + k]
+            a, b = pb.fft_axis2_p(a, b, 0, forward, interpret=interpret)
+            es[2 * j + k], es[4 + 2 * j + k] = a, b
+    for i in (0, 1):                    # z pass: pair over k
+        for j in (0, 1):
+            a, b = es[4 * i + 2 * j], es[4 * i + 2 * j + 1]
+            a, b = pb.fft_axis2_p(a, b, 2, forward, interpret=interpret,
+                                  scale=scale)
+            es[4 * i + 2 * j], es[4 * i + 2 * j + 1] = a, b
+    return tuple(es)

@@ -35,7 +35,11 @@ def main():
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-    qshape = (2, n // 2, n, n // 2)
+    # optional second arg: z extent (vary the live-set size without
+    # changing the pair kernel's transform length — the memory-pressure
+    # discriminator)
+    nz = int(sys.argv[2]) if len(sys.argv) > 2 else n
+    qshape = (2, n // 2, n, nz // 2)
     gb_vol = 2 * 4 * int(np.prod(qshape)) * 4 / 1e9   # full volume r+w
 
     def sync(t):
@@ -49,7 +53,8 @@ def main():
             jax.random.uniform(kk, qshape, jnp.float32, -0.5, 0.5)
             for kk in jax.random.split(k, nq)))(key)
 
-    def probe(tag, nq, passes, donate=True, ks=(1, 3), npass=1):
+    def probe(tag, nq, passes, donate=True, ks=(1, 3), npass=1,
+              mkstate=None):
         try:
             ts = {}
             for k in ks:
@@ -59,7 +64,7 @@ def main():
                     return qs
                 j = jax.jit(f, donate_argnums=tuple(range(nq))
                             if donate else ())
-                st = mk(nq)
+                st = mk(nq) if mkstate is None else mkstate(key)
                 st = j(*st)
                 sync(st)
                 st = j(*st)
@@ -98,8 +103,54 @@ def main():
     def barrier(qs):
         return tuple(lax.optimization_barrier(q) for q in qs)
 
+    def yx_seq(qs):
+        # strictly localized chains: finish (y,y,pair) of one quarter
+        # pair before touching the next — minimizes the in-flight set
+        q00, q01, q10, q11 = qs
+        a = pb.fft_axis_p(q00, 1, True)
+        b = pb.fft_axis_p(q10, 1, True)
+        a, b = pb.fft_axis2_p(a, b, 0, True)
+        q01, q11, a, b = lax.optimization_barrier((q01, q11, a, b))
+        c = pb.fft_axis_p(q01, 1, True)
+        d = pb.fft_axis_p(q11, 1, True)
+        c, d = pb.fft_axis2_p(c, d, 0, True)
+        return (a, c, b, d)
+
+    # -- eighths schedule: split x, y and z 2-way; every pass is an
+    # out-of-place pair over 1.075 GB pieces, keeping the live set at
+    # 8 pieces + 2 in flight = 10.75 GB — below the measured ~12 GB
+    # cliff where pair passes drop to ~620 GB/s
+    eshape = (2, n // 2, n // 2, nz // 2)
+
+    def mk8(key):
+        return tuple(
+            jax.random.uniform(kk, eshape, jnp.float32, -0.5, 0.5)
+            for kk in jax.random.split(key, 8))
+
+    def fwd8(es):
+        # pieces indexed e[i][j][k] -> flat 4*i + 2*j + k
+        es = list(es)
+        for i in (0, 1):
+            for k in (0, 1):        # y pass: pair over j
+                a, b = es[4 * i + k], es[4 * i + 2 + k]
+                a, b = pb.fft_axis2_p(a, b, 1, True)
+                es[4 * i + k], es[4 * i + 2 + k] = a, b
+        for j in (0, 1):
+            for k in (0, 1):        # x pass: pair over i
+                a, b = es[2 * j + k], es[4 + 2 * j + k]
+                a, b = pb.fft_axis2_p(a, b, 0, True)
+                es[2 * j + k], es[4 + 2 * j + k] = a, b
+        for i in (0, 1):
+            for j in (0, 1):        # z pass: pair over k
+                a, b = es[4 * i + 2 * j], es[4 * i + 2 * j + 1]
+                a, b = pb.fft_axis2_p(a, b, 2, True)
+                es[4 * i + 2 * j], es[4 * i + 2 * j + 1] = a, b
+        return tuple(es)
+
     only = os.environ.get('PROBE_ONLY', '')
     cases = [
+        ('fwd8', 8, fwd8, dict(npass=3, mkstate=mk8)),
+        ('yx4q-seq', 4, yx_seq, dict(npass=2)),
         ('x2q', 2, xpass, dict(npass=1)),
         ('x4q', 4, xpass, dict(npass=1)),
         ('x4q-nodonate', 4, xpass, dict(donate=False, npass=1)),
@@ -110,7 +161,7 @@ def main():
         ('fwd-k2', 4, lambda qs: zpass(xpass(ypass(qs))),
          dict(ks=(1, 2), npass=3)),
     ]
-    print(f"== composition probe at {n}^3 "
+    print(f"== composition probe at {n}^2x{nz} "
           f"({gb_vol:.1f} GB r+w per pass)", flush=True)
     for tag, nq, passes, kw in cases:
         if only and only != tag:

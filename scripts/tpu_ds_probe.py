@@ -117,19 +117,16 @@ def main():
     # x64 einsum engine (the current on-chip f64 path) on a SMALLER
     # volume (it is known to be far off the roofline)
     os.environ['MPI4PY_FFT_TPU_X64'] = '1'
-    import importlib
+    jax.config.update('jax_enable_x64', True)
     shape_e = (256, 256, 1024)
     flops_e = 5 * int(np.prod(shape_e)) * np.log2(shape_e[0])
     gb_e = 2 * 2 * int(np.prod(shape_e)) * 8 / 1e9
     from mpi4py_fft_tpu.ops import matfft
 
-    def einsum_pass(s, i):
-        with jax.experimental.enable_x64():
-            return matfft.fft1d_p(s, 0, True)
     timeit('x64 einsum engine (lead)',
            lambda: jax.jit(lambda k: jax.random.uniform(
                k, (2,) + shape_e, jnp.float64, -0.5, 0.5))(key),
-           einsum_pass, gb_e, flops_e)
+           lambda s, i: matfft.fft1d_p(s, 0, True), gb_e, flops_e)
 
 
 if __name__ == '__main__':

@@ -119,3 +119,25 @@ def test_planar_pfft_quartered_matches_full():
     back = np.asarray(oop3d.assemble_q(
         pfft.backward_fn_q(oop3d.split_q(jnp.asarray(quart)))))
     assert np.abs(back - x).max() < 1e-4
+
+
+def test_fft3_8_vs_numpy_and_roundtrip():
+    """Eighths schedule (split_8/fft3_8): every pass an OOP pair with
+    minimum in-flight memory; must match numpy and round-trip."""
+    shape = (32, 128, 256)
+    assert oop3d.supported_8(shape, np.float32)
+    assert not oop3d.supported_8((31, 128, 256), np.float32)  # odd X
+    assert not oop3d.supported_8(shape, np.float64)
+    x = _rng(5).standard_normal((2,) + shape).astype(np.float32)
+    es = oop3d.split_8(jnp.asarray(x))
+    assert es[0].shape == (2, 16, 64, 128)
+    assert np.array_equal(np.asarray(oop3d.assemble_8(es)), x)
+    ys = oop3d.fft3_8(es, True, interpret=True)
+    y = np.asarray(oop3d.assemble_8(ys))
+    ref = np.fft.fftn(x[0] + 1j * x[1], axes=(0, 1, 2))
+    rel = np.abs((y[0] + 1j * y[1]) - ref).max() / np.abs(ref).max()
+    assert rel < 1e-5, rel
+    zs = oop3d.fft3_8(ys, False, scale=1.0 / np.prod(shape),
+                      interpret=True)
+    z = np.asarray(oop3d.assemble_8(zs))
+    assert np.abs(z - x).max() < 1e-4
