@@ -231,18 +231,36 @@ def _butterfly_large(p, axis, sign, split):
     ntrail = p.ndim - ax - 1
     if dit:
         x = p.reshape(shape[:ax] + (Q, R) + shape[ax + 1:])
+        # kernel on a MERGED 4-D view when possible: a 5-D operand falls
+        # off the lead kernel's native-block path and XLA materializes
+        # full-volume lane relayouts on both sides; merging (R, trail…)
+        # into (M, last) is a free leading-dim reshape
+        merged = None
+        if ax == 1 and x.ndim >= 5 and x.shape[-1] % 128 == 0:
+            M = int(np.prod(x.shape[2:-1], dtype=np.int64))
+            if M % 8 == 0:
+                merged = x.shape
+                x = x.reshape(2, Q, M, x.shape[-1])
         z = pb.fft_axis_p(x, ax - 1, forward=(sign == -1))   # complex coords
+        if merged is not None:
+            z = z.reshape(merged)
         tw = _twiddle(R, Q, sign, dtype_str).swapaxes(1, 2)  # (2, Q, R)
         tw = jnp.asarray(tw).reshape(
             (2,) + (1,) * (ax - 1) + (Q, R) + (1,) * ntrail)
         z = _pmul(z, tw)
-        c = _pmatstage_mid(z, jnp.asarray(_dft_matrix(R, sign, dtype_str)),
-                           ax + 1)                           # k1 at ax+1
+        if R in (2, 4):
+            c = _combine_small(z, R, ax + 1, sign)           # k1 at ax+1
+        else:
+            c = _pmatstage_mid(
+                z, jnp.asarray(_dft_matrix(R, sign, dtype_str)), ax + 1)
         c = jnp.swapaxes(c, ax, ax + 1)                      # (k1, k2)
     else:
         x = p.reshape(shape[:ax] + (R, Q) + shape[ax + 1:])
-        y = _pmatstage_mid(x, jnp.asarray(_dft_matrix(R, sign, dtype_str)),
-                           ax)                               # r at ax
+        if R in (2, 4):
+            y = _combine_small(x, R, ax, sign)               # r at ax
+        else:
+            y = _pmatstage_mid(
+                x, jnp.asarray(_dft_matrix(R, sign, dtype_str)), ax)
         tw = jnp.asarray(_twiddle(R, Q, sign, dtype_str)).reshape(
             (2,) + (1,) * (ax - 1) + (R, Q) + (1,) * ntrail)
         y = _pmul(y, tw)
@@ -440,6 +458,36 @@ def set_mid_axis_strategy(mode):
     global _MID_AXIS
     assert mode in ('moveaxis', 'einsum')
     _MID_AXIS = mode
+
+
+def _combine_small(z, R, axis, sign):
+    """Elementwise DFT-R combine over a length-R planar axis for tiny R
+    (2, 4) — the four-step's outer stage without an MXU einsum: XLA
+    fuses the adds/twiddle rotations into one HBM pass, where the
+    degenerate (n x R) matmul of ``_pmatstage_mid`` costs extra full
+    passes.  ``axis`` is in planar coords; complex values are planar
+    (plane 0 = re, plane 1 = im)."""
+    def at(j):
+        sl = [slice(None)] * z.ndim
+        sl[axis] = slice(j, j + 1)
+        return z[tuple(sl)]
+
+    def cat(parts):
+        return jnp.concatenate(parts, axis=axis)
+
+    def neg_i(v):
+        # multiply by exp(sign*i*pi/2) = sign*i: (re, im) -> sign*(-im, re)
+        return sign * jnp.concatenate([-v[1:2], v[0:1]], axis=0)
+
+    if R == 2:
+        a, b = at(0), at(1)
+        return cat([a + b, a - b])
+    assert R == 4
+    z0, z1, z2, z3 = at(0), at(1), at(2), at(3)
+    t0, t1 = z0 + z2, z1 + z3
+    t2, t3 = z0 - z2, z1 - z3
+    u3 = neg_i(t3)
+    return cat([t0 + t1, t2 + u3, t0 - t1, t2 - u3])
 
 
 def _pmatstage_mid(p, W, axis):

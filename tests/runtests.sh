@@ -17,13 +17,17 @@ run () {
 }
 
 # serial-layer tests (device count irrelevant)
-run 1 tests/test_fftw.py tests/test_libfft.py tests/test_speed.py
+run 1 tests/test_fftw.py tests/test_libfft.py tests/test_speed.py \
+      tests/test_butterfly.py tests/test_oop3d.py tests/test_ds.py \
+      tests/test_native.py
 
 # distributed layers at 2, 4 and 8 devices (≙ mpiexec -n 2 / 4 / 8)
 for n in 2 4 8; do
   run $n tests/test_pencil.py tests/test_darray.py tests/test_planar.py
 done
-run 8 tests/test_mpifft.py tests/test_io.py tests/test_pallas_fft.py
+run 8 tests/test_mpifft.py tests/test_io.py tests/test_pallas_fft.py \
+      tests/test_shmap_executor.py tests/test_overlap.py \
+      tests/test_profiling.py
 
 # TRUE multi-process groups: 2 jax.distributed workers x 4 devices
 # (≙ reference mpiexec -n 2, runtests.sh:14-37)

@@ -17,7 +17,13 @@ abstol = dict(f=5e-5, d=1e-13)
 
 # 'jax' is the native XLA/MXU path; numpy/scipy are host cross-checks
 # (role of the reference's 5-backend list, tests/test_libfft.py:10-15)
-backends = ['jax', 'numpy', 'scipy', 'torch']
+try:
+    import torch  # noqa: F401
+    _HAS_TORCH = True
+except ImportError:
+    _HAS_TORCH = False
+
+backends = ['jax', 'numpy', 'scipy'] + (['torch'] if _HAS_TORCH else [])
 
 
 def allclose(a, b):
@@ -55,7 +61,7 @@ def test_libfft(backend):
                     assert allclose(A, X), np.linalg.norm(A - X)
 
 
-@pytest.mark.parametrize("backend", ['jax', 'numpy', 'torch'])
+@pytest.mark.parametrize("backend", ['jax', 'numpy'] + (['torch'] if _HAS_TORCH else []))
 def test_libfft_padding(backend):
     """fwd∘bwd∘fwd == fwd fixed point with 3/2 and 2.0 padding
     (reference: tests/test_libfft.py:64-98)."""
