@@ -464,16 +464,24 @@ class FFT(FFTBase):
         (pipeline form of :meth:`forward_fn`)."""
         assert not self._host_backend
         if abs(self.padding_factor - 1.0) > 1e-8 \
-                and not self.real_transform and len(self.axes) == 1 \
-                and self.input_planar and self.output_planar:
-            # single-axis padded c2c stage: fold the 3/2-rule truncation
-            # into the kernel's HBM write (ops/pallas_butterfly.fft_axis_tp)
+                and len(self.axes) == 1 and self.output_planar:
             from .ops import pallas_butterfly as _pb
             ax = self.axes[-1]
             Nt = self.forward.output_array.shape[ax]
-            if _pb.fused_tp_enabled() and _pb.supported_axis_tp(
-                    p.shape[1:], ax, p.dtype, trunc=Nt):
+            if (not self.real_transform and self.input_planar
+                    and _pb.fused_tp_enabled() and _pb.supported_axis_tp(
+                        p.shape[1:], ax, p.dtype, trunc=Nt)):
+                # single-axis padded c2c stage: fold the 3/2-rule
+                # truncation into the kernel's HBM write
                 y = _pb.fft_axis_tp(p, ax, True, trunc=Nt)
+                if normalize:
+                    y = y * jnp.asarray(self.M, dtype=y.dtype)
+                return y
+            if (self.real_transform and not self.input_planar
+                    and _pb.fused_tp_enabled()
+                    and _pb.supported_r2c(p.shape, ax, p.dtype)):
+                # r2c stage: HERMITIAN truncation fused into the kernel
+                y = _pb.rfft_axis_p(p, ax, trunc=Nt)
                 if normalize:
                     y = y * jnp.asarray(self.M, dtype=y.dtype)
                 return y
@@ -499,17 +507,28 @@ class FFT(FFTBase):
         (pipeline form of :meth:`backward_fn`)."""
         assert not self._host_backend
         if abs(self.padding_factor - 1.0) > 1e-8 \
-                and not self.real_transform and len(self.axes) == 1 \
-                and self.bck.input_planar and self.bck.output_planar:
+                and len(self.axes) == 1 and self.bck.input_planar:
             from .ops import pallas_butterfly as _pb
             ax = self.axes[-1]
             Np = self.bck.input_array.shape[ax]
-            if _pb.fused_tp_enabled() and _pb.supported_axis_tp(
-                    p.shape[1:], ax, p.dtype, pad=Np):
+            if (not self.real_transform and self.bck.output_planar
+                    and _pb.fused_tp_enabled() and _pb.supported_axis_tp(
+                        p.shape[1:], ax, p.dtype, pad=Np)):
                 y = _pb.fft_axis_tp(p, ax, False, pad=Np)
                 if normalize:
                     y = y * jnp.asarray(self.M, dtype=y.dtype)
                 return y
+            if (self.real_transform and not self.bck.output_planar
+                    and _pb.fused_tp_enabled()
+                    and _pb._PACKED_MODE == 'on'):
+                # c2r stage: hermitian zero-padding fused into the
+                # kernel read (truncated-extent spectrum accepted)
+                N0 = self.bck.output_array.shape[ax]
+                if _pb.supported_c2r(p.shape[1:], ax, N0, p.dtype):
+                    y = _pb.irfft_axis_p(p, ax, N0)
+                    if normalize:
+                        y = y * jnp.asarray(self.M, dtype=y.dtype)
+                    return y
         if abs(self.padding_factor - 1.0) > 1e-8:
             axis = self.axes[-1]
             Np = self.bck.input_array.shape[axis]

@@ -1385,11 +1385,45 @@ def _rev_pages(x, n):
                            axis=0)
 
 
-def _r2c_rows_full(xr, tw_ref, N, nh, hext, scale):
+def _herm_trunc_rows(r, i, trunc):
+    """Hermitian spectral truncation to ``trunc`` rows in state form
+    (reference truncate_planar hermitian semantics, libfft.py:263-284:
+    keep the first Nt rows; for even Nt double the folded Nyquist real
+    part and zero its imaginary part)."""
+    if trunc % 2 == 0:
+        return (jnp.concatenate([r[:trunc - 1],
+                                 2.0 * r[trunc - 1:trunc]], axis=0),
+                jnp.concatenate([i[:trunc - 1],
+                                 jnp.zeros_like(i[:1])], axis=0))
+    return r[:trunc], i[:trunc]
+
+
+def _herm_pad_rows(hr, hi, nh):
+    """Hermitian zero-padding from Nt = hr.shape[0] rows to ``nh`` rows
+    in state form (reference pad_planar hermitian semantics,
+    libfft.py:286-311: halve the even-Nt Nyquist real part, zero its
+    imaginary part, zero-fill the tail)."""
+    Nt = hr.shape[0]
+    if Nt >= nh:
+        return hr[:nh], hi[:nh]
+    z = jnp.zeros((nh - Nt,) + hr.shape[1:], hr.dtype)
+    if Nt % 2 == 0:
+        return (jnp.concatenate([hr[:Nt - 1], 0.5 * hr[Nt - 1:Nt], z],
+                                axis=0),
+                jnp.concatenate([hi[:Nt - 1], jnp.zeros_like(hi[:1]), z],
+                                axis=0))
+    return (jnp.concatenate([hr, z], axis=0),
+            jnp.concatenate([hi, z], axis=0))
+
+
+def _r2c_rows_full(xr, tw_ref, N, nh, hext, scale, trunc=None):
     """Real rows (N, 8, 128) -> half-spectrum planar rows (2, hext, ...)
     via a FULL N-point c2c with zero imaginary part (fallback path)."""
     r, i = _butterfly(xr, jnp.zeros_like(xr), tw_ref, N, -1, scale)
     r, i = r[:nh], i[:nh]
+    if trunc is not None and trunc < nh:
+        r, i = _herm_trunc_rows(r, i, trunc)
+        nh = trunc
     if hext > nh:
         z = jnp.zeros((hext - nh,) + r.shape[1:], r.dtype)
         r = jnp.concatenate([r, z], axis=0)
@@ -1397,7 +1431,8 @@ def _r2c_rows_full(xr, tw_ref, N, nh, hext, scale):
     return r, i
 
 
-def _r2c_rows(xr, tw_ref, N, nh, hext, scale, packed=True):
+def _r2c_rows(xr, tw_ref, N, nh, hext, scale, packed=True,
+              trunc=None):
     """Real rows (N, 8, 128) -> half-spectrum planar rows (2, hext, ...)
     by the PACKED N/2-point method: z[m] = x[2m] + i x[2m+1] is one
     N/2-point c2c (half the butterfly stages and state traffic of the
@@ -1411,7 +1446,7 @@ def _r2c_rows(xr, tw_ref, N, nh, hext, scale, packed=True):
     (cos, sin)(2 pi k / N) unpack rows (see _tw_pack_packed)."""
     N2 = N // 2
     if not packed or N2 < 2:
-        return _r2c_rows_full(xr, tw_ref, N, nh, hext, scale)
+        return _r2c_rows_full(xr, tw_ref, N, nh, hext, scale, trunc)
     pair = xr.reshape((N2, 2) + xr.shape[1:])
     zr, zi = pair[:, 0], pair[:, 1]              # even / odd rows
     Zr, Zi = _butterfly(zr, zi, tw_ref, N2, -1, None)
@@ -1435,6 +1470,9 @@ def _r2c_rows(xr, tw_ref, N, nh, hext, scale, packed=True):
     if scale is not None:
         r = r * scale
         i = i * scale
+    if trunc is not None and trunc < nh:
+        r, i = _herm_trunc_rows(r, i, trunc)
+        nh = trunc
     if hext > nh:
         z = jnp.zeros((hext - nh,) + r.shape[1:], r.dtype)
         r = jnp.concatenate([r, z], axis=0)
@@ -1442,24 +1480,28 @@ def _r2c_rows(xr, tw_ref, N, nh, hext, scale, packed=True):
     return r, i
 
 
-def _kern_mid_r2c(x_ref, tw_ref, o_ref, *, N, nh, hext, scale, packed):
+def _kern_mid_r2c(x_ref, tw_ref, o_ref, *, N, nh, hext, scale, packed,
+                  trunc=None):
     xr = jnp.transpose(x_ref[0], (1, 0, 2))       # (N, 8, 128)
-    r, i = _r2c_rows(xr, tw_ref, N, nh, hext, scale, packed)
+    r, i = _r2c_rows(xr, tw_ref, N, nh, hext, scale, packed, trunc)
     o_ref[0] = jnp.transpose(r, (1, 0, 2))
     o_ref[1] = jnp.transpose(i, (1, 0, 2))
 
 
-def _kern_lead_r2c(x_ref, tw_ref, o_ref, *, N, nh, hext, scale, packed):
-    r, i = _r2c_rows(x_ref[0], tw_ref, N, nh, hext, scale, packed)
+def _kern_lead_r2c(x_ref, tw_ref, o_ref, *, N, nh, hext, scale, packed,
+                  trunc=None):
+    r, i = _r2c_rows(x_ref[0], tw_ref, N, nh, hext, scale, packed,
+                     trunc)
     o_ref[0] = r
     o_ref[1] = i
 
 
-def _kern_last_r2c(x_ref, tw_ref, o_ref, *, N, nh, hext, scale, packed):
+def _kern_last_r2c(x_ref, tw_ref, o_ref, *, N, nh, hext, scale, packed,
+                   trunc=None):
     R = x_ref.shape[1]
     x = jnp.swapaxes(x_ref[0], 0, 1)              # (N, R)
     xr = x.reshape(N, R // _LANE, _LANE)
-    r, i = _r2c_rows(xr, tw_ref, N, nh, hext, scale, packed)
+    r, i = _r2c_rows(xr, tw_ref, N, nh, hext, scale, packed, trunc)
     o_ref[0] = jnp.swapaxes(r.reshape(hext, R), 0, 1)
     o_ref[1] = jnp.swapaxes(i.reshape(hext, R), 0, 1)
 
@@ -1510,11 +1552,14 @@ def _c2r_rows_packed(hr, hi, tw_ref, N, scale):
 
 def _kern_mid_c2r(x_ref, t_ref, tw_ref, o_ref, *, N, nh, nt, scale,
                   packed):
-    hr = jnp.transpose(x_ref[0], (1, 0, 2))[:nh]  # (nh, 8, 128)
-    hi = jnp.transpose(x_ref[1], (1, 0, 2))[:nh]
+    hr = jnp.transpose(x_ref[0], (1, 0, 2))       # (Hin, 8, 128)
+    hi = jnp.transpose(x_ref[1], (1, 0, 2))
     if packed:
+        # Hin < nh: fused hermitian zero-padding (3/2-rule backward)
+        hr, hi = _herm_pad_rows(hr, hi, nh)
         r = _c2r_rows_packed(hr, hi, tw_ref, N, scale)
     else:
+        hr, hi = hr[:nh], hi[:nh]
         tr = jnp.transpose(t_ref[0], (1, 0, 2)) if nt else None
         ti = jnp.transpose(t_ref[1], (1, 0, 2)) if nt else None
         r = _c2r_rows(hr, hi, tr, ti, tw_ref, N, scale)
@@ -1524,8 +1569,8 @@ def _kern_mid_c2r(x_ref, t_ref, tw_ref, o_ref, *, N, nh, nt, scale,
 def _kern_lead_c2r(x_ref, t_ref, tw_ref, o_ref, *, N, nh, nt, scale,
                    packed):
     if packed:
-        r = _c2r_rows_packed(x_ref[0][:nh], x_ref[1][:nh], tw_ref, N,
-                             scale)
+        hr, hi = _herm_pad_rows(x_ref[0], x_ref[1], nh)
+        r = _c2r_rows_packed(hr, hi, tw_ref, N, scale)
     else:
         tr = t_ref[0] if nt else None
         ti = t_ref[1] if nt else None
@@ -1546,7 +1591,8 @@ def _kern_last_c2r(x_ref, t_ref, tw_ref, o_ref, *, N, nh, nt, scale,
             t = jnp.swapaxes(t_ref[p], 0, 1)      # (nt, R)
             ts[p] = t.reshape(nt, R // _LANE, _LANE)
     if packed:
-        r = _c2r_rows_packed(hs[0], hs[1], tw_ref, N, scale)
+        hr, hi = _herm_pad_rows(hs[0], hs[1], nh)
+        r = _c2r_rows_packed(hr, hi, tw_ref, N, scale)
     else:
         r = _c2r_rows(hs[0], hs[1], ts[0], ts[1], tw_ref, N, scale)
     o_ref[0] = jnp.swapaxes(r.reshape(N, R), 0, 1)
@@ -1573,8 +1619,8 @@ def _ckw(N, interpret):
 
 @functools.partial(jax.jit,
                    static_argnames=('axis', 'hext', 'interpret', 'scale',
-                                    'packed'))
-def _dispatch_r2c(x, axis, hext, interpret, scale, packed):
+                                    'packed', 'trunc'))
+def _dispatch_r2c(x, axis, hext, interpret, scale, packed, trunc=None):
     shape = x.shape
     nd = len(shape)
     N = shape[axis]
@@ -1592,7 +1638,8 @@ def _dispatch_r2c(x, axis, hext, interpret, scale, packed):
     tw_spec = _bspec((2, tw_small.shape[1], _SUB, _LANE),
                            lambda *g: (0, 0, 0, 0),
                            memory_space=pltpu.VMEM)
-    kw = dict(N=N, nh=nh, hext=hext, scale=scale, packed=packed)
+    kw = dict(N=N, nh=nh, hext=hext, scale=scale, packed=packed,
+              trunc=trunc)
     if post == 1:
         xg = x.reshape(1, pre, N)
         R = _SUB * _LANE
@@ -1642,27 +1689,33 @@ def _dispatch_r2c(x, axis, hext, interpret, scale, packed):
     return out.reshape((2,) + shape[:axis] + (hext,) + shape[axis + 1:])
 
 
-def rfft_axis_p(x, axis, hext=None, scale=None, interpret=None):
+def rfft_axis_p(x, axis, hext=None, scale=None, interpret=None,
+                trunc=None):
     """Real array -> planar Hermitian half-spectrum along ``axis``.
 
-    Output extent is ``hext`` (>= N//2+1; default N//2+1) with exact zero
-    rows beyond N//2+1 — the pencil pipeline's shardable-extent padding
-    comes out of the kernel for free.  Requires ``supported_axis`` on the
-    real input shape.  Uses the packed N/2-point kernel unless
+    Output extent is ``hext`` (default N//2+1, or ``trunc`` when given)
+    with exact zero rows beyond the spectrum — the pencil pipeline's
+    shardable-extent padding comes out of the kernel for free.
+    ``trunc`` (< N//2+1) applies the 3/2-rule HERMITIAN truncation
+    inside the kernel write (Nyquist fold for even trunc; reference
+    libfft.py:263-284).  Requires ``supported_axis`` on the real input
+    shape.  Uses the packed N/2-point kernel unless
     MPI4PY_FFT_TPU_PACKED_R2C=off.
     """
     nd = x.ndim
     axis = axis % nd
     N = x.shape[axis]
     nh = N // 2 + 1
+    eff = nh if trunc is None else int(trunc)
     if hext is None:
-        hext = nh
-    assert hext >= nh
+        hext = eff
+    assert hext >= eff
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
     return _dispatch_r2c(x, axis, int(hext), interpret,
                          None if scale is None else float(scale),
-                         _PACKED_MODE == 'on')
+                         _PACKED_MODE == 'on',
+                         None if trunc is None else int(trunc))
 
 
 @functools.partial(jax.jit,
@@ -1783,10 +1836,15 @@ def supported_r2c(shape, axis, dtype):
 
 def supported_c2r(shape, axis, n, dtype):
     """Gate for ``irfft_axis_p``: shape is the complex (planar-less)
-    spectrum shape; ``n`` the real output length."""
+    spectrum shape; ``n`` the real output length.  Spectrum extents
+    BELOW n//2+1 are accepted on the packed kernel path — the hermitian
+    3/2-rule zero-padding happens inside the kernel read
+    (reference pad_planar semantics, libfft.py:286-311)."""
     nd = len(shape)
     axis = axis % nd
-    if shape[axis] < n // 2 + 1:
+    if shape[axis] < n // 2 + 1 and \
+            not (_PACKED_MODE == 'on' and n // 2 >= 2
+                 and shape[axis] >= 2):
         return False
     full = shape[:axis] + (n,) + shape[axis + 1:]
     return supported_axis(full, axis, dtype) and \

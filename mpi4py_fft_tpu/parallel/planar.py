@@ -285,12 +285,21 @@ class PlanarPFFT(object):
         ax0 = axes[-1]
         spad0 = self._spec_pad_shape[ax0]
         if self.real_transform:
+            from ..ops import pallas_butterfly as _pb
             x = self._slice_ax(x, ax0, self._input_shape[ax0])
             if self._padded(ax0):
-                p = _local_rfft(x, ax0)
-                p = truncate_planar(p, 1 + ax0, self._trunc[ax0] // 2 + 1,
-                                    hermitian=True)
-                p = self._pad_ax(p, 1 + ax0, spad0)
+                nt0 = self._trunc[ax0] // 2 + 1
+                if (pb_fused_tp_enabled()
+                        and matfft._BFLY_MODE != 'off'
+                        and _pb.supported_r2c(x.shape, ax0, x.dtype)):
+                    # hermitian 3/2-rule truncation fused into the r2c
+                    # kernel write (+ shardable-extent zero rows)
+                    p = _pb.rfft_axis_p(x, ax0, hext=max(spad0, nt0),
+                                        trunc=nt0)
+                else:
+                    p = _local_rfft(x, ax0)
+                    p = truncate_planar(p, 1 + ax0, nt0, hermitian=True)
+                    p = self._pad_ax(p, 1 + ax0, spad0)
             else:
                 p = _local_rfft(x, ax0,
                                 hext=spad0 if spad0 > x.shape[ax0] // 2 + 1
@@ -376,11 +385,21 @@ class PlanarPFFT(object):
         ax0 = axes[-1]
         p = self._slice_ax(p, 1 + ax0, self._output_shape[ax0])
         if self.real_transform:
-            if self._padded(ax0):
-                p = pad_planar(p, 1 + ax0, self._input_shape[ax0] // 2 + 1,
-                               hermitian=True)
-            y = _local_irfft(p, ax0, self._input_shape[ax0],
-                             scale=self._norm if normalize else None)
+            from ..ops import pallas_butterfly as _pb
+            N0 = self._input_shape[ax0]
+            if (self._padded(ax0) and pb_fused_tp_enabled()
+                    and matfft._BFLY_MODE != 'off'
+                    and _pb._PACKED_MODE == 'on'
+                    and _pb.supported_c2r(p.shape[1:], ax0, N0, p.dtype)):
+                # hermitian zero-padding fused into the c2r kernel read
+                y = _pb.irfft_axis_p(
+                    p, ax0, N0, scale=self._norm if normalize else None)
+            else:
+                if self._padded(ax0):
+                    p = pad_planar(p, 1 + ax0, N0 // 2 + 1,
+                                   hermitian=True)
+                y = _local_irfft(p, ax0, N0,
+                                 scale=self._norm if normalize else None)
             y = self._pad_ax(y, ax0, self._phys_pad_shape[ax0])
         else:
             if self._padded(ax0):

@@ -307,3 +307,56 @@ def test_plane_scale_and_gate():
     assert not pb.supported_plane((4, 256, 96), np.float32)   # lane mult
     assert not pb.supported_plane((4, 512, 256), np.float32)  # > _MAX_N
     assert not pb.supported_plane((256,), np.float32)
+
+
+@pytest.mark.parametrize('shape,axis,Nt', [
+    ((8, 256, 128), 1, 86),
+    ((8192, 96), 1, 33),
+    ((96, 8, 128), 0, 33),
+])
+@pytest.mark.parametrize('packed', ['on', 'off'])
+def test_r2c_fused_hermitian_trunc(shape, axis, Nt, packed):
+    """rfft_axis_p(trunc=Nt): the 3/2-rule HERMITIAN truncation fused
+    into the kernel write == truncate_planar of the full half-spectrum
+    (reference: libfft.py:263-284)."""
+    from mpi4py_fft_tpu.libfft import truncate_planar
+    prev = pb._PACKED_MODE
+    pb.set_packed_mode(packed)
+    try:
+        rng = np.random.default_rng(41)
+        x = rng.standard_normal(shape).astype(np.float32)
+        got = np.asarray(pb.rfft_axis_p(jnp.asarray(x), axis, trunc=Nt,
+                                        interpret=True))
+        full = np.fft.rfft(x, axis=axis)
+        fullp = jnp.asarray(np.stack([full.real, full.imag])
+                            .astype(np.float32))
+        ref = np.asarray(truncate_planar(fullp, 1 + axis, Nt, True))
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+    finally:
+        pb.set_packed_mode(prev)
+
+
+@pytest.mark.parametrize('shape,axis,Nt', [
+    ((8, 256, 128), 1, 86),
+    ((8192, 96), 1, 33),
+    ((96, 8, 128), 0, 33),
+])
+def test_c2r_fused_hermitian_pad(shape, axis, Nt):
+    """irfft_axis_p on a TRUNCATED hermitian spectrum: the 3/2-rule
+    zero-padding fused into the kernel read == pad_planar + inverse
+    (reference: libfft.py:286-311).  Packed-kernel path only."""
+    from mpi4py_fft_tpu.libfft import pad_planar, truncate_planar
+    N = shape[axis]
+    rng = np.random.default_rng(43)
+    x = rng.standard_normal(shape).astype(np.float32)
+    h = np.fft.rfft(x, axis=axis)
+    hp = jnp.asarray(np.stack([h.real, h.imag]).astype(np.float32))
+    tp = truncate_planar(hp, 1 + axis, Nt, True)
+    tshape = tuple(np.asarray(tp).shape[1:])
+    assert pb.supported_c2r(tshape, axis, N, np.float32)
+    got = np.asarray(pb.irfft_axis_p(jnp.asarray(np.asarray(tp)), axis,
+                                     N, scale=1.0 / N, interpret=True))
+    padded = pad_planar(tp, 1 + axis, N // 2 + 1, True)
+    zi = np.asarray(padded[0]) + 1j * np.asarray(padded[1])
+    ref = np.fft.irfft(zi, n=N, axis=axis)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
