@@ -468,23 +468,20 @@ class FFT(FFTBase):
             from .ops import pallas_butterfly as _pb
             ax = self.axes[-1]
             Nt = self.forward.output_array.shape[ax]
+            sc = float(self.M) if normalize else None
             if (not self.real_transform and self.input_planar
                     and _pb.fused_tp_enabled() and _pb.supported_axis_tp(
                         p.shape[1:], ax, p.dtype, trunc=Nt)):
                 # single-axis padded c2c stage: fold the 3/2-rule
-                # truncation into the kernel's HBM write
-                y = _pb.fft_axis_tp(p, ax, True, trunc=Nt)
-                if normalize:
-                    y = y * jnp.asarray(self.M, dtype=y.dtype)
-                return y
+                # truncation AND the stage normalization into the
+                # kernel's HBM write (a separate multiply costs a full
+                # extra pass — profiled at 5.5 ms on the 768^3 stage)
+                return _pb.fft_axis_tp(p, ax, True, trunc=Nt, scale=sc)
             if (self.real_transform and not self.input_planar
                     and _pb.fused_tp_enabled()
                     and _pb.supported_r2c(p.shape, ax, p.dtype)):
                 # r2c stage: HERMITIAN truncation fused into the kernel
-                y = _pb.rfft_axis_p(p, ax, trunc=Nt)
-                if normalize:
-                    y = y * jnp.asarray(self.M, dtype=y.dtype)
-                return y
+                return _pb.rfft_axis_p(p, ax, trunc=Nt, scale=sc)
         y = self.fwd.fn_p(p, normalize=False)
         if abs(self.padding_factor - 1.0) > 1e-8:
             axis = self.axes[-1]
@@ -511,13 +508,11 @@ class FFT(FFTBase):
             from .ops import pallas_butterfly as _pb
             ax = self.axes[-1]
             Np = self.bck.input_array.shape[ax]
+            sc = float(self.M) if normalize else None
             if (not self.real_transform and self.bck.output_planar
                     and _pb.fused_tp_enabled() and _pb.supported_axis_tp(
                         p.shape[1:], ax, p.dtype, pad=Np)):
-                y = _pb.fft_axis_tp(p, ax, False, pad=Np)
-                if normalize:
-                    y = y * jnp.asarray(self.M, dtype=y.dtype)
-                return y
+                return _pb.fft_axis_tp(p, ax, False, pad=Np, scale=sc)
             if (self.real_transform and not self.bck.output_planar
                     and _pb.fused_tp_enabled()
                     and _pb._PACKED_MODE == 'on'):
@@ -525,10 +520,7 @@ class FFT(FFTBase):
                 # kernel read (truncated-extent spectrum accepted)
                 N0 = self.bck.output_array.shape[ax]
                 if _pb.supported_c2r(p.shape[1:], ax, N0, p.dtype):
-                    y = _pb.irfft_axis_p(p, ax, N0)
-                    if normalize:
-                        y = y * jnp.asarray(self.M, dtype=y.dtype)
-                    return y
+                    return _pb.irfft_axis_p(p, ax, N0, scale=sc)
         if abs(self.padding_factor - 1.0) > 1e-8:
             axis = self.axes[-1]
             Np = self.bck.input_array.shape[axis]
