@@ -85,6 +85,30 @@ def make_solver(N=(64, 64, 64), L=(2 * np.pi, 4 * np.pi, 4 * np.pi),
             U_hat1 = U_hat1 + a_rk[rk] * dt * dU
         return U_hat1
 
+    # split-step driver: one jitted program per RK substage (9 transforms
+    # each) instead of the 36-transform fused step — the fallback for
+    # toolchains whose remote compiler cannot hold the fused program at
+    # chip-filling grids (docs/benchmarks.md milestone #5 note).  The
+    # stage weights travel as traced scalars so 2 compiled programs
+    # cover all 4 substages.
+    @jax.jit
+    def _rk_mid(U_hat, U_hat0, U_hat1, b, a):
+        dU = compute_rhs(U_hat)
+        return U_hat0 + (b * dt) * dU, U_hat1 + (a * dt) * dU
+
+    @jax.jit
+    def _rk_last(U_hat, U_hat1, a):
+        return U_hat1 + (a * dt) * compute_rhs(U_hat)
+
+    def step_split(U_hat):
+        U0 = U1 = U_hat
+        Uc = U_hat
+        for rk in range(3):
+            Uc, U1 = _rk_mid(Uc, U0, U1, jnp.asarray(b_rk[rk], rdt),
+                             jnp.asarray(a_rk[rk], rdt))
+        return _rk_last(Uc, U1, jnp.asarray(a_rk[3], rdt))
+    step.split = step_split
+
     U0 = np.zeros((3,) + tuple(N), dtype=rdt)
     U0[0] = np.sin(X[0]) * np.cos(X[1]) * np.cos(X[2])
     U0[1] = -np.cos(X[0]) * np.sin(X[1]) * np.cos(X[2])

@@ -152,8 +152,18 @@ def m5():
           flush=True)
     pfft, U_hat, step, energy = dns.make_solver(N=(n, n, n), dtype='f')
     t0 = time.perf_counter()
-    U_hat = step(U_hat)
-    _sync(jax, U_hat)
+    try:
+        U_hat = step(U_hat)
+        _sync(jax, U_hat)
+    except Exception as e:                          # noqa: BLE001
+        # chip-filling fused 36-transform programs can crash the remote
+        # compile helper of this toolchain; fall back to the per-substage
+        # driver (9 transforms per program)
+        print(f"  fused step failed ({type(e).__name__}); using the "
+              "split-step driver", flush=True)
+        step = step.split
+        U_hat = step(U_hat)
+        _sync(jax, U_hat)
     print(f"  first step (incl. compile): {time.perf_counter() - t0:.1f}s",
           flush=True)
     for _ in range(2):                  # warmup (one-time tunnel cost)
