@@ -26,11 +26,13 @@ boundaries.  Role: the OOP analogue of FFTW's DESTROY_INPUT plans
 aliasing is the bandwidth bottleneck.
 
 Measured (v5e, 1024^3 c2c, chained fwd/bwd pairs): 82.6 ms/transform
-(1949 GF/s) vs 85.8-86.5 on the in-place full-volume path.  The y pass
-runs at 1012-1026 GB/s; the x/z pair passes cap at ~681 GB/s — a
-2-in/2-out pallas call's 4-stream pipeline is the bottleneck (a pair
-COPY measures the same 25.2 ms as the pair butterfly), which is the
-remaining headroom (docs/benchmarks.md).
+(1949 GF/s) vs 85.8-86.5 on the in-place full-volume path.  Round-4
+re-dissection (profiler + honest long-chain walls): the whole chain is
+VPU-COMPUTE-bound — per-kernel device times are 12.8-13.8 ms (pair) /
+7.4-7.6 ms (1-in), their sum IS the total, and the earlier "pair
+passes cap at ~681 GB/s (4-stream pipeline)" reading was a slope-method
+artifact.  ~1949 GF/s is the butterfly compute speed-of-light at f32
+on this chip (docs/benchmarks.md).
 """
 import numpy as np
 import jax.numpy as jnp
