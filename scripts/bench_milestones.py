@@ -152,6 +152,8 @@ def m5():
           flush=True)
     pfft, U_hat, step, energy = dns.make_solver(N=(n, n, n), dtype='f')
     t0 = time.perf_counter()
+    if os.environ.get('M5_SPLIT', '0') == '1':
+        step = step.split
     try:
         U_hat = step(U_hat)
         _sync(jax, U_hat)
