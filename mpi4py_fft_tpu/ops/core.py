@@ -204,32 +204,32 @@ def set_r2r_impl(impl):
     _R2R_IMPL = impl
 
 
-_FFT_R2R_KINDS = (FFTW_REDFT10, FFTW_REDFT01, FFTW_RODFT10, FFTW_RODFT01)
-
-
-_DENSE_R2R_WARNED = set()
+_FFT_R2R_KINDS = (FFTW_REDFT00, FFTW_REDFT10, FFTW_REDFT01, FFTW_REDFT11,
+                  FFTW_RODFT00, FFTW_RODFT10, FFTW_RODFT01, FFTW_RODFT11,
+                  FFTW_DHT)
 
 
 def _use_fft_r2r(N, kind):
+    """Every FFTW r2r kind has an O(N log N) path here (the guru planner
+    covers them all in the reference, fftw/fftw_planxfftn.c:60-70); the
+    dense MXU basis remains for tiny axes (where one small matmul beats
+    the FFT's reorder passes) and for the forced 'dense' impl."""
     if _R2R_IMPL == 'dense' or kind not in _FFT_R2R_KINDS:
         return False
     if _R2R_IMPL == 'fft':
         return True
-    use = N >= 16 and N % 2 == 0       # auto: even lengths, big enough
-    if not use and N >= 512 and (N, kind) not in _DENSE_R2R_WARNED:
-        # no-silent-caps: large odd-N DCT/DST fall back to the dense
-        # O(N^2) MXU basis — exact but quadratically more expensive
-        _DENSE_R2R_WARNED.add((N, kind))
-        import warnings
-        warnings.warn(
-            f"r2r kind {kind} at odd length N={N} uses the dense O(N^2) "
-            "basis path (the FFT-backed method needs even N); prefer "
-            "even extents for r2r axes at production sizes", stacklevel=3)
-    return use
+    return N >= 16
 
 
 def _take(x, idx, axis):
     return jnp.take(x, jnp.asarray(idx), axis=axis)
+
+
+def _makhoul_idx(N):
+    """Makhoul's permutation for any N: even input indices ascending,
+    then odd indices descending (v[n] = x[2n], v[N-1-n] = x[2n+1])."""
+    hi = N - 1 if N % 2 == 0 else N - 2      # largest odd index
+    return np.concatenate([np.arange(0, N, 2), np.arange(hi, 0, -2)])
 
 
 @functools.lru_cache(maxsize=None)
@@ -253,8 +253,7 @@ def _dct2_fft(x, axis):
     """
     from . import matfft
     N = x.shape[axis]
-    idx = np.concatenate([np.arange(0, N, 2), np.arange(N - 1, 0, -2)])
-    v = _take(x, idx, axis)
+    v = _take(x, _makhoul_idx(N), axis)
     P = matfft.rfftn_p(v, (axis,))             # (2, ..., N//2+1)
     # full-length spectrum by Hermitian reflection V[k>N/2] = conj(V[N-k])
     k = np.arange(N)
@@ -298,9 +297,7 @@ def _dct3_fft(y, axis):
     P = jnp.stack([Wr, Wi])
     v = matfft.irfftn_p(P, (axis,), N)          # unnormalized c2r
     # undo reorder: x[2n] = v[n], x[2n+1] = v[N-1-n]
-    idx = np.concatenate([np.arange(0, N, 2), np.arange(N - 1, 0, -2)])
-    inv = np.argsort(idx)
-    return _take(v, inv, axis)
+    return _take(v, np.argsort(_makhoul_idx(N)), axis)
 
 
 def _alt_signs(N, dtype_str):
@@ -325,8 +322,93 @@ def _dst3_fft(y, axis):
     return X * _rowshape(_alt_signs(N, np.dtype(y.dtype).name), y.ndim, axis)
 
 
+def _dct1_fft(x, axis):
+    """REDFT00 (DCT-I): X[k] = x[0] + (-1)^k x[N-1]
+    + 2 sum_{1<=n<=N-2} x[n] cos(pi n k / (N-1)).
+
+    The even extension v = [x[0..N-1], x[N-2..1]] of length M = 2(N-1)
+    has a purely real DFT with V[k] = X[k]; rfft(v) yields exactly
+    M//2+1 = N rows, so X = Re(rfft(v)) with no reflection pass."""
+    from . import matfft
+    N = x.shape[axis]
+    ext = _take(x, np.arange(N - 2, 0, -1), axis)
+    v = jnp.concatenate([x, ext], axis=axis)
+    return matfft.rfftn_p(v, (axis,))[0]
+
+
+def _dst1_fft(x, axis):
+    """RODFT00 (DST-I): X[k] = 2 sum x[n] sin(pi (n+1)(k+1) / (N+1)).
+
+    The odd extension v = [0, x[0..N-1], 0, -x[N-1..0]] of length
+    M = 2(N+1) has DFT V[k] = -i X[k-1] (purely imaginary), so
+    X = -Im(rfft(v))[1:N+1]."""
+    from . import matfft
+    N = x.shape[axis]
+    zshape = list(x.shape)
+    zshape[axis] = 1
+    z = jnp.zeros(zshape, x.dtype)
+    rev = _take(x, np.arange(N - 1, -1, -1), axis)
+    v = jnp.concatenate([z, x, z, -rev], axis=axis)
+    P = matfft.rfftn_p(v, (axis,))               # (2, ..., N+2)
+    return -_take(P[1], np.arange(1, N + 1), axis)
+
+
+@functools.lru_cache(maxsize=None)
+def _dct4_consts(N, dtype_str):
+    """(cos(pi(2n+1)/(4N)) pre-twiddle, signed cumsum weights, (-1)^k)."""
+    pre = 2.0 * np.cos(np.pi * (2 * np.arange(N) + 1) / (4.0 * N))
+    w = np.full(N, 2.0)
+    w[0] = 1.0
+    w *= (-1.0) ** np.arange(N)
+    sk = (-1.0) ** np.arange(N)
+    dt = np.dtype(dtype_str)
+    return pre.astype(dt), w.astype(dt), sk.astype(dt)
+
+
+def _dct4_fft(x, axis):
+    """REDFT11 (DCT-IV): X[k] = 2 sum x[n] cos(pi (2n+1)(2k+1) / (4N)).
+
+    Product-to-sum on the half-sample-shift twiddle gives
+    DCT2(2 x[n] cos(pi(2n+1)/4N))[k] = X[k] + X[k-1] with X[-1] = V[0],
+    i.e. X[0] = V[0] and X[k] = 2 V[k] - X[k-1] — solved in parallel as
+    an alternating-sign cumulative sum (log-depth in XLA), so the whole
+    kind rides the FFT-backed DCT-II at any N."""
+    N = x.shape[axis]
+    pre, w, sk = _dct4_consts(N, np.dtype(x.dtype).name)
+    u = x * _rowshape(pre, x.ndim, axis)
+    V = _dct2_fft(u, axis) * 0.5                 # V[k] as derived above
+    S = jnp.cumsum(V * _rowshape(w, x.ndim, axis), axis=axis)
+    return S * _rowshape(sk, x.ndim, axis)
+
+
+def _dst4_fft(x, axis):
+    """RODFT11 via REDFT11: DST-IV(x)[k] = DCT-IV((-1)^n x)[N-1-k]."""
+    N = x.shape[axis]
+    u = x * _rowshape(_alt_signs(N, np.dtype(x.dtype).name), x.ndim, axis)
+    X = _dct4_fft(u, axis)
+    return _take(X, np.arange(N - 1, -1, -1), axis)
+
+
+def _dht_fft(x, axis):
+    """FFTW_DHT: X[k] = sum x[n] (cos + sin)(2 pi n k / N)
+    = Re(V[k]) - Im(V[k]) for V = DFT(x); real input, so one rfft plus
+    the Hermitian reflection (Im flips sign past N/2)."""
+    from . import matfft
+    N = x.shape[axis]
+    P = matfft.rfftn_p(x, (axis,))
+    k = np.arange(N)
+    refl = np.where(k <= N // 2, k, N - k)
+    sgn = np.where(k <= N // 2, 1.0, -1.0).astype(x.dtype)
+    Vr = _take(P[0], refl, axis)
+    Vi = _take(P[1], refl, axis) * _rowshape(sgn, x.ndim, axis)
+    return Vr - Vi
+
+
 _FFT_R2R_FN = {FFTW_REDFT10: _dct2_fft, FFTW_REDFT01: _dct3_fft,
-               FFTW_RODFT10: _dst2_fft, FFTW_RODFT01: _dst3_fft}
+               FFTW_RODFT10: _dst2_fft, FFTW_RODFT01: _dst3_fft,
+               FFTW_REDFT00: _dct1_fft, FFTW_RODFT00: _dst1_fft,
+               FFTW_REDFT11: _dct4_fft, FFTW_RODFT11: _dst4_fft,
+               FFTW_DHT: _dht_fft}
 
 
 def r2r(x, axes, kinds):

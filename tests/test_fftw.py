@@ -219,19 +219,26 @@ def test_aligned():
 
 
 def test_r2r_fft_impl():
-    """FFT-backed DCT/DST (Makhoul N-point real-FFT method) vs the dense
-    MXU basis and scipy, both precisions (reference r2r semantics:
-    fftw/fftw_planxfftn.c:57-76; tolerances tests/test_fftw.py:15)."""
+    """FFT-backed r2r — ALL eight DCT/DST kinds at even AND odd N
+    (DCT-I via the 2(N-1)-point even extension, DST-I via 2(N+1), the
+    type-IV pair via half-sample-shift twiddles + parallel prefix, odd-N
+    II/III via the generalized Makhoul permutation) — vs the dense MXU
+    basis and scipy, both precisions (reference: the guru planner covers
+    every kind in O(N log N), fftw/fftw_planxfftn.c:60-70; tolerances
+    tests/test_fftw.py:15)."""
     import jax.numpy as jnp
     from mpi4py_fft_tpu.ops import core
     from mpi4py_fft_tpu.ops.kinds import (
-        FFTW_REDFT10, FFTW_REDFT01, FFTW_RODFT10, FFTW_RODFT01)
-    kind2scipy = {FFTW_REDFT10: ('dct', 2), FFTW_REDFT01: ('dct', 3),
-                  FFTW_RODFT10: ('dst', 2), FFTW_RODFT01: ('dst', 3)}
+        FFTW_REDFT00, FFTW_REDFT10, FFTW_REDFT01, FFTW_REDFT11,
+        FFTW_RODFT00, FFTW_RODFT10, FFTW_RODFT01, FFTW_RODFT11)
+    kind2scipy = {FFTW_REDFT00: ('dct', 1), FFTW_REDFT10: ('dct', 2),
+                  FFTW_REDFT01: ('dct', 3), FFTW_REDFT11: ('dct', 4),
+                  FFTW_RODFT00: ('dst', 1), FFTW_RODFT10: ('dst', 2),
+                  FFTW_RODFT01: ('dst', 3), FFTW_RODFT11: ('dst', 4)}
     rng = np.random.default_rng(11)
     prev = core._R2R_IMPL
     try:
-        for N in (8, 20):
+        for N in (8, 13, 20, 31):
             for kind, (fn, tp) in kind2scipy.items():
                 for dt, tol in (('float32', 2e-5), ('float64', 1e-12)):
                     x = rng.standard_normal((4, N, 3)).astype(dt)
