@@ -16,6 +16,13 @@ are concurrent too, by one of two mechanisms (``MPI4PY_FFT_TPU_H5_MODE``):
       file under a global-device barrier (O(#processes) wall clock;
       kept as a fallback that produces a single self-contained file).
 
+``HDF5File(..., repack=True)`` (or ``MPI4PY_FFT_TPU_H5_REPACK=1``) keeps
+the parallel sidecar streaming of ``vds`` mode but has process 0 copy the
+shards into ordinary contiguous datasets at stitch time instead of
+virtual ones, then deletes the drained sidecars — one portable
+self-contained file, matching the reference's mpio artifact
+(reference: io/h5py_file.py:33, 72) at the cost of one serial copy pass.
+
 File schema (identical to the reference):
 
     name/{ndim}D/{step}                  whole snapshots

@@ -394,6 +394,45 @@ class Transform(object):
         return out
 
 
+def _axis_stage_list(axes, ndim, darray=None):
+    """Turn the user's ``axes`` argument into the stage list the planner
+    walks: a list of axis groups, one serial-transform stage each.
+
+    Accepted spellings: ``None`` (every array axis, one stage per axis —
+    when planning from a ``darray``, rotated so the array's aligned axis
+    is transformed first), a bare int, a flat sequence of ints, or a
+    nested sequence where an inner tuple keeps several axes together in
+    one stage.  Negative indices wrap; duplicates within a group are
+    rejected.  (Semantics of reference mpifft.py:213-240.)
+    """
+    if axes is None:
+        order = list(range(ndim))
+        if darray is not None:
+            # transform the already-aligned axis in the first stage
+            shift = ndim - 1 - darray.alignment
+            order = order[-shift:] + order[:-shift] if shift else order
+        return [[a] for a in order]
+    entries = [axes] if isinstance(axes, int) else list(axes)
+    stages = []
+    for entry in entries:
+        if isinstance(entry, (int, np.integer)):
+            group = [int(entry)]
+        else:
+            if not isinstance(entry, (tuple, list)):
+                raise AssertionError(
+                    f"axes entry {entry!r}: expected an int or a "
+                    "tuple/list of ints")
+            group = [int(a) for a in entry]
+        group = [a + ndim if a < 0 else a for a in group]
+        for a in group:
+            assert 0 <= a < ndim, f"axis {a} out of range for {ndim}-D data"
+        assert 0 < len(group) <= ndim, f"bad axes group size {len(group)}"
+        assert len(set(group)) == len(group), \
+            f"axes group {group} repeats an axis"
+        stages.append(group)
+    return stages
+
+
 class PFFT(object):
     """Parallel transform over a device mesh (reference: mpifft.py:82-419).
 
@@ -414,32 +453,7 @@ class PFFT(object):
             assert darray is not None
             shape = darray.pencil.shape
 
-        # ---- axes normalization (reference: mpifft.py:213-240) ----------
-        if axes is not None:
-            axes = list(axes) if not isinstance(axes, int) else [axes]
-        else:
-            axes = list(range(len(shape)))
-            if darray is not None:
-                axes = list(np.roll(axes, len(shape) - 1 - darray.alignment))
-        for i, ax in enumerate(axes):
-            if isinstance(ax, (int, np.integer)):
-                ax = int(ax)
-                if ax < 0:
-                    ax += len(shape)
-                axes[i] = (ax,)
-            else:
-                assert isinstance(ax, (tuple, list))
-                ax = list(ax)
-                for j, a in enumerate(ax):
-                    assert isinstance(a, int)
-                    if a < 0:
-                        ax[j] = a + len(shape)
-                axes[i] = ax
-            assert min(axes[i]) >= 0
-            assert max(axes[i]) < len(shape)
-            assert 0 < len(axes[i]) <= len(shape)
-            assert sorted(axes[i]) == sorted(set(axes[i]))
-
+        axes = _axis_stage_list(axes, len(shape), darray)
         self.axes = axes
         shape = list(shape)
 
@@ -448,75 +462,94 @@ class PFFT(object):
             assert dtype.char in 'fdFD', \
                 f"dtype {dtype}: TPU tiers are f32/f64 (no long double)"
 
-            # ---- padding inflation (reference: mpifft.py:247-253) -------
+            # Dealiasing inflation: a padding factor > 1 on a single-axis
+            # stage grows that axis of the PHYSICAL grid now, and the
+            # factor is re-derived from the rounded extent so the 3/2-rule
+            # truncation downstream is exact (reference: mpifft.py:247-253).
             if padding is not False:
-                assert len(padding) == len(shape)
+                assert len(padding) == len(shape), \
+                    "padding needs one factor per array axis"
                 padding = list(padding)
-                for ax in axes:
-                    if len(ax) == 1 and padding[ax[0]] > 1.0 + 1e-6:
-                        old = float(shape[ax[0]])
-                        shape[ax[0]] = int(np.floor(shape[ax[0]] * padding[ax[0]]))
-                        padding[ax[0]] = shape[ax[0]] / old
+                for group in axes:
+                    if len(group) != 1:
+                        continue
+                    (a,) = group
+                    if padding[a] > 1.0 + 1e-6:
+                        unpadded = shape[a]
+                        shape[a] = int(shape[a] * padding[a])  # floor
+                        padding[a] = shape[a] / float(unpadded)
 
             self._input_shape = tuple(shape)
-            assert len(shape) > 0
-            assert min(shape) > 0
+            assert shape and min(shape) > 0, f"bad global shape {shape}"
 
             slab = kw.pop('slab', False)
 
-            # ---- processor grid -> Subcomm (reference: mpifft.py:259-290)
+            # Device-grid selection (reference: mpifft.py:259-290).  The
+            # mesh must leave every axis of the FIRST stage (= axes[-1],
+            # transformed before any transpose) on a trivial device group.
             if grid is not None:
-                assert not isinstance(comm, Subcomm)
-                assert slab is False
-                grid = tuple(grid)
+                assert not isinstance(comm, Subcomm), \
+                    "grid= conflicts with a prebuilt Subcomm"
+                assert slab is False, "grid= conflicts with slab="
                 assert len(grid) <= len(shape)
-                dims = list(grid) + [1] * (len(shape) - len(grid))
-                comm = Subcomm(comm, dims)
+                comm = Subcomm(comm, tuple(grid)
+                               + (1,) * (len(shape) - len(grid)))
 
             if isinstance(comm, Subcomm):
-                assert slab is False
+                assert slab is False, "slab= conflicts with a Subcomm"
                 assert len(comm) == len(shape)
-                assert np.all([comm[ax].Get_size() == 1 for ax in axes[-1]])
+                for a in axes[-1]:
+                    assert comm[a].Get_size() == 1, \
+                        f"Subcomm distributes axis {a}, which the plan " \
+                        "transforms before any transpose"
                 self.subcomm = comm
             else:
                 if slab is False or slab is None:
-                    dims = [0] * len(shape)
-                    for ax in axes[-1]:
-                        dims[ax] = 1
+                    # pencil default: wildcard everywhere except the
+                    # first-stage axes, which get trivial groups
+                    dims = [0 if i not in axes[-1] else 1
+                            for i in range(len(shape))]
                 else:
+                    # slab: all devices on one chosen axis
                     if slab is True:
-                        axis = (axes[-1][-1] + 1) % len(shape)
-                    else:
-                        axis = slab
-                        if axis < 0:
-                            axis = axis + len(shape)
-                        assert 0 <= axis < len(shape)
+                        slab = (axes[-1][-1] + 1) % len(shape)
+                    elif slab < 0:
+                        slab += len(shape)
+                    assert 0 <= slab < len(shape), f"bad slab axis {slab}"
                     dims = [1] * len(shape)
-                    dims[axis] = 0  # wildcard: all devices on this axis
+                    dims[slab] = 0
                 self.subcomm = Subcomm(comm, dims)
         else:
+            # plan derived from an existing DistArray: its decomposition
+            # and dtype are authoritative (reference: mpifft.py:209-219)
             dtype = darray.dtype
             self.subcomm = darray.subcomm_tuple
             self._input_shape = tuple(shape)
-            commsizes = darray.commsizes
-            assert np.all([commsizes[ax] == 1 for ax in axes[-1]]), \
-                "Set keyword axes such that axes to transform first are aligned"
+            for a in axes[-1]:
+                assert darray.commsizes[a] == 1, \
+                    f"darray distributes axis {a}; pick axes= so the " \
+                    "first-transformed group lies on its aligned axes"
             padding = False
 
         self._mesh = getattr(self.subcomm, 'mesh', None)
         if self._mesh is None and darray is not None:
             self._mesh = darray.pencil.mesh
 
-        # ---- collapse (reference: mpifft.py:298-306) --------------------
+        # Stage merging ("collapse"): walking back-to-front, any stage
+        # whose axes all sit on trivial device groups needs no transpose
+        # of its own — fold its axes onto the front of the stage that
+        # follows it, so one serial transform covers both.  (Semantics of
+        # reference mpifft.py:298-306.)
         self.collapse = collapse
         if collapse is True:
-            groups = [[]]
-            for ax in reversed(axes):
-                if np.all([self.subcomm[axis].Get_size() == 1 for axis in ax]):
-                    [groups[0].insert(0, axis) for axis in reversed(ax)]
+            merged = []
+            for group in reversed(axes):
+                free = all(self.subcomm[a].Get_size() == 1 for a in group)
+                if free and merged:
+                    merged[0][:0] = group
                 else:
-                    groups.insert(0, ax)
-            axes = [g for g in groups if len(g) > 0]
+                    merged.insert(0, list(group))
+            axes = [g for g in merged if g]
 
         self.axes = tuple(map(tuple, axes))
         self.xfftn = []
@@ -524,37 +557,47 @@ class PFFT(object):
         self.pencil = [None, None]
         self.backend = backend
 
-        # ---- stage chain (reference: mpifft.py:308-338) -----------------
-        axes = self.axes[-1]
-        pencil = Pencil(self.subcomm, shape, axes[-1])
-        pencil.mesh = self._mesh
-        xfftn = FFT(shape, axes, dtype, padding, backend=backend,
-                    transforms=transforms, **kw)
+        # Build the stage chain back-to-front (reference: mpifft.py:308-338):
+        # the LAST axes group is transformed first (it is already aligned);
+        # every earlier group costs one pencil rotation + one serial FFT.
+        def serial_fft(cur_shape, group):
+            return FFT(cur_shape, group, dtype, padding, backend=backend,
+                       transforms=transforms, **kw)
+
+        def spectral_fixup(xfftn, group, subcomm):
+            """After a stage whose serial transform changes the global
+            geometry (r2c halving, dealiasing truncation), the chain
+            continues on the TRANSFORMED extents and dtype; returns the
+            pencil the next rotation starts from, or None if nothing
+            changed.  (Role of reference mpifft.py:319-322/332-335.)"""
+            nonlocal shape, dtype
+            out = xfftn.forward.output_array
+            if shape[group[-1]] == out.shape[group[-1]]:
+                return None
+            dtype = out.dtype
+            shape = list(out.shape)
+            fixed = Pencil(subcomm, shape, group[-1])
+            fixed.mesh = self._mesh
+            return fixed
+
+        first = self.axes[-1]
+        cursor = Pencil(self.subcomm, shape, first[-1])
+        cursor.mesh = self._mesh
+        self.pencil[0] = cursor
+        stage_in_pencils = [cursor]
+        xfftn = serial_fft(shape, first)
         self.xfftn.append(xfftn)
-        self.pencil[0] = pencilA = pencil
-        stage_in_pencils = [pencil]
-        if not shape[axes[-1]] == xfftn.forward.output_array.shape[axes[-1]]:
-            dtype = xfftn.forward.output_array.dtype
-            shape = list(xfftn.forward.output_array.shape)
-            pencilA = Pencil(self.subcomm, shape, axes[-1])
-            pencilA.mesh = self._mesh
+        cursor = spectral_fixup(xfftn, first, self.subcomm) or cursor
 
-        for axes in reversed(self.axes[:-1]):
-            pencilB = pencilA.pencil(axes[-1])
-            transAB = pencilA.transfer(pencilB, dtype)
-            xfftn = FFT(shape, axes, dtype, padding, backend=backend,
-                        transforms=transforms, **kw)
+        for group in reversed(self.axes[:-1]):
+            rotated = cursor.pencil(group[-1])
+            self.transfer.append(cursor.transfer(rotated, dtype))
+            stage_in_pencils.append(rotated)
+            xfftn = serial_fft(shape, group)
             self.xfftn.append(xfftn)
-            self.transfer.append(transAB)
-            stage_in_pencils.append(pencilB)
-            pencilA = pencilB
-            if not shape[axes[-1]] == xfftn.forward.output_array.shape[axes[-1]]:
-                dtype = xfftn.forward.output_array.dtype
-                shape = list(xfftn.forward.output_array.shape)
-                pencilA = Pencil(pencilB.subcomm, shape, axes[-1])
-                pencilA.mesh = self._mesh
+            cursor = spectral_fixup(xfftn, group, rotated.subcomm) or rotated
 
-        self.pencil[1] = pencilA
+        self.pencil[1] = cursor
         self._output_shape = tuple(shape)
         self._stage_in_pencils = stage_in_pencils
 

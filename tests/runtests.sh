@@ -29,6 +29,16 @@ run 8 tests/test_mpifft.py tests/test_io.py tests/test_pallas_fft.py \
       tests/test_shmap_executor.py tests/test_overlap.py \
       tests/test_profiling.py
 
+# the gspmd executor is a SUPPORTED alternative to the shard_map default
+# (PFFT(executor='gspmd') / MPI4PY_FFT_TPU_EXECUTOR=gspmd): re-run the
+# full PFFT + planar matrices with every 'auto' selection forced to it,
+# so it gets the same 8-device coverage as the production path
+echo "=== devices=8 (executor=gspmd sweep) ==="
+MPI4PY_FFT_TPU_EXECUTOR=gspmd \
+  XLA_FLAGS="--xla_force_host_platform_device_count=8" \
+  python -m pytest tests/test_mpifft.py tests/test_planar.py \
+  tests/test_io.py -q
+
 # TRUE multi-process groups: 2 jax.distributed workers x 4 devices
 # (≙ reference mpiexec -n 2, runtests.sh:14-37)
 run 8 tests/test_multiproc.py
