@@ -378,5 +378,14 @@ if __name__ == '__main__':
         _child_base(*map(int, sys.argv[2:5]))
     elif len(sys.argv) > 1 and sys.argv[1] == '--child-quartered':
         _child_quartered(*map(int, sys.argv[2:5]))
+    elif len(sys.argv) > 1 and sys.argv[1] == '--weak-scaling':
+        # multi-host mode: timed pencil transposes whose all_to_all group
+        # crosses jax.distributed process boundaries, at constant
+        # per-process volume (the BASELINE >=70% host->pod protocol,
+        # exercised here on a multi-process CPU mesh)
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), 'scripts'))
+        import bench_weak_scaling
+        bench_weak_scaling.main(*[int(a) for a in sys.argv[2:6]])
     else:
         main()

@@ -59,6 +59,12 @@ class HDF5File(FileBase):
         import jax
         self._phase = None            # None | 'blocks' | 'stitch'
         self._sidecar = None
+        self._repack = bool(kw.pop(
+            'repack',
+            os.environ.get('MPI4PY_FFT_TPU_H5_REPACK', '0')
+            not in ('0', 'false', 'False')))
+        self._blk_groups = set()      # sidecar groups streamed this write
+        self._src_cache = {}          # open sidecar handles during stitch
         if jax.process_count() == 1 or jax.process_index() == 0:
             self.f = h5py.File(h5name, mode, **kw)
             self.close()
@@ -153,6 +159,7 @@ class HDF5File(FileBase):
         # ---- phase 1: every process streams its shards, in parallel ----
         import h5py
         self._phase = 'blocks'
+        self._blk_groups = set()
         try:
             self._sidecar = h5py.File(
                 self._sidecar_name(jax.process_index()), 'a')
@@ -162,7 +169,9 @@ class HDF5File(FileBase):
             self._sidecar = None
             self._phase = None
         multihost_utils.sync_global_devices("h5w_blocks")
-        # ---- phase 2: process 0 stitches virtual datasets --------------
+        # ---- phase 2: process 0 stitches the main file -----------------
+        # (virtual datasets pointing at the sidecars, or — with
+        # repack=True — contiguous copies drained from them)
         if jax.process_index() == 0:
             self._phase = 'stitch'
             try:
@@ -171,7 +180,30 @@ class HDF5File(FileBase):
                 self.close()
             finally:
                 self._phase = None
+                for f in self._src_cache.values():
+                    f.close()
+                self._src_cache = {}
         multihost_utils.sync_global_devices("h5w_stitch")
+        if self._repack:
+            # the main file is now self-contained; every process drains
+            # the groups it streamed this call from its own sidecar and
+            # unlinks the file once nothing is left in it
+            side = self._sidecar_name(jax.process_index())
+            if self._blk_groups and os.path.exists(side):
+                with h5py.File(side, 'a') as sf:
+                    for grp in self._blk_groups:
+                        if grp in sf:
+                            del sf[grp]
+                        # prune now-empty ancestor groups too
+                        parts = grp.split('/')
+                        for i in range(len(parts) - 1, 0, -1):
+                            anc = '/'.join(parts[:i])
+                            if anc in sf and len(sf[anc]) == 0:
+                                del sf[anc]
+                    empty = len(sf) == 0
+                if empty:
+                    os.remove(side)
+            multihost_utils.sync_global_devices("h5w_repack")
 
     def read(self, u, name, **kw):
         """Read whole snapshot into DistArray ``u``; data is resharded to
@@ -217,8 +249,9 @@ class HDF5File(FileBase):
         (reference mpio analogue: io/h5py_file.py:147-152)."""
         group = "/".join((name, f"{u.dimensions}D"))
         if self._phase == 'blocks':
-            sgrp = self._sidecar.require_group(
-                "/".join((group, str(step))))
+            gpath = "/".join((group, str(step)))
+            sgrp = self._sidecar.require_group(gpath)
+            self._blk_groups.add(gpath)
             for sl, block in u.addressable_blocks():
                 key = self._blk_key(sl)
                 if key in sgrp:
@@ -228,6 +261,21 @@ class HDF5File(FileBase):
             return
         if self._phase == 'stitch':
             import h5py
+            if self._repack:
+                # contiguous single-artifact form: copy every process's
+                # shards out of the sidecars (one serial pass on process
+                # 0; the parallel part already happened in phase 1)
+                g = self.f.require_group(group)
+                dset = g.require_dataset(str(step), shape=u.global_shape,
+                                         dtype=u.dtype)
+                for p, sl in self._owned_slabs(u):
+                    if p not in self._src_cache:
+                        self._src_cache[p] = h5py.File(
+                            self._sidecar_name(p), 'r')
+                    blk = self._src_cache[p][
+                        "/".join((group, str(step), self._blk_key(sl)))]
+                    dset[sl] = np.asarray(blk)
+                return
             layout = h5py.VirtualLayout(shape=u.global_shape,
                                         dtype=u.dtype)
             for p, sl in self._owned_slabs(u):

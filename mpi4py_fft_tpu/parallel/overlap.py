@@ -20,6 +20,20 @@ Knobs: ``MPI4PY_FFT_TPU_A2A_CHUNKS`` = ``auto`` (default) | int.
 that per-chunk transfers still amortize collective launch overhead
 (>= 4 MB/chunk), else leaves the transpose whole.  Constructor kwarg
 ``a2a_chunks`` on PFFT/PlanarPFFT overrides the env.
+
+Multi-chip A/B measurement protocol (chunking is a *bet* on the
+latency-hiding scheduler — it can lose to 4x collective launches, and a
+1-chip environment cannot settle it):  on a >=4-chip mesh run
+
+    for C in 1 2 4 8:  MPI4PY_FFT_TPU_A2A_CHUNKS=$C \
+        python scripts/bench_milestones.py --only 3
+
+(any PFFT/PlanarPFFT forward at production size works; milestone #3's
+512^3 dealiased r2c is the representative two-transpose pipeline) and
+compare wall/step.  Keep the best C as the deployment default; if C=1
+wins at every size, set ``MPI4PY_FFT_TPU_A2A_CHUNKS=1`` and this module
+reduces to the unchunked executor.  The chunked and unchunked programs
+are bit-identical in output, so the sweep needs no correctness gate.
 """
 import os
 

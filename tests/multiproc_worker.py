@@ -132,5 +132,27 @@ if PROC == 0:
           "VDS and serial writes byte-identical")
 multihost.sync_global_devices("after-compare")
 
+# repack=True: sidecars streamed in parallel, then drained into ONE
+# self-contained contiguous file (the reference's single mpio artifact,
+# io/h5py_file.py:33,72) and deleted
+from mpi4py_fft_tpu import HDF5File                         # noqa: E402
+h5r = os.path.join(TMP, "mp_repack.h5")
+frp = HDF5File(h5r, mode='w', domain=((0, 1),) * 3, repack=True)
+frp.write(0, {"u": [u]})
+multihost.sync_global_devices("after-write-repack")
+if PROC == 0:
+    import glob
+    import h5py
+    check(not glob.glob(h5r + ".p*.h5"),
+          "repack removed every sidecar file")
+    with h5py.File(h5r, 'r') as fr, h5py.File(h5s, 'r') as fs:
+        check(not fr["u/3D/0"].is_virtual,
+              "repacked dataset is contiguous, not virtual")
+        dr = np.asarray(fr["u/3D/0"])
+        ds = np.asarray(fs["u/3D/0"])
+    check(dr.tobytes() == ds.tobytes(),
+          "repacked and serial writes byte-identical")
+multihost.sync_global_devices("after-repack-compare")
+
 multihost.sync_global_devices("done")
 print(f"[proc {PROC}] ALL OK", flush=True)

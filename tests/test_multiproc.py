@@ -57,3 +57,24 @@ def test_multiproc(nprocs, tmp_path):
     # n=2 and n=4 process groups, matching the reference's mpiexec -n 2/4
     # sweep (reference: tests/runtests.sh:22-37)
     _run_group(nprocs, tmp_path)
+
+
+def test_weak_scaling_harness():
+    """Timed multi-process transposes: the weak-scaling measurement
+    protocol (BASELINE >=70% host->pod north-star) must run end-to-end
+    on the 2proc x 4dev CPU mesh and emit its efficiency JSON.  The CPU
+    TCP number itself is not meaningful — the pod artifact is produced
+    by the same script with a per-host launcher."""
+    import json
+    import subprocess
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(HERE, os.pardir, "scripts", "bench_weak_scaling.py"),
+         "2", "4", "32", "5"],
+        stdout=subprocess.PIPE, timeout=600)
+    assert out.returncode == 0
+    line = [l for l in out.stdout.decode().splitlines()
+            if l.startswith('{')][-1]
+    r = json.loads(line)
+    assert r["weak_scaling_efficiency"] > 0
+    assert r["t_transpose_ms_1proc"] > 0 and r["t_transpose_ms_2proc"] > 0
