@@ -134,9 +134,11 @@ def _single_or_local():
         (_LOCAL_DISPATCH[0] or jax.device_count() == 1)
 
 
-def _use_pallas(N):
+def _use_pallas(N, dtype=None):
     if _PALLAS_MODE == 'off':
         return False
+    if dtype is not None and np.dtype(dtype) != np.float32:
+        return False                # the fused kernel is f32-only
     from . import pallas_fft
     if not pallas_fft.supported_length(N):
         return False
@@ -411,7 +413,7 @@ def _fft_last_p(p, sign):
     N = p.shape[-1]
     if N == 1:
         return p
-    if _use_pallas(N):
+    if _use_pallas(N, p.dtype):
         from . import pallas_fft
         return pallas_fft.fft2stage_p(p, sign)
     dtype_str = np.dtype(p.dtype).name
@@ -546,6 +548,17 @@ def _fft_axis_einsum(p, axis, sign):
     return c.reshape(shape[:ax] + (N,) + shape[ax + 1:])
 
 
+def _use_ds(shape, axis, dtype):
+    """f64 work routes through the double-single kernel tier on TPU
+    (ops/pallas_ds.py) when the shapes ride it — ~80x the x64 einsum
+    engine at DS (~4e-15) accuracy; the performance answer to the
+    reference's f64-default builds (reference: libfft.py:225,314)."""
+    if np.dtype(dtype) != np.float64:
+        return False
+    from . import pallas_ds as pds
+    return pds.ds_wanted() and pds.supported_ds(shape, axis)
+
+
 def fft1d_p(p, axis, forward=True, scale=None):
     """Planar c2c transform along ``axis`` of the complex array (axis
     counted WITHOUT the leading planar dim).  Unnormalized unless
@@ -554,6 +567,12 @@ def fft1d_p(p, axis, forward=True, scale=None):
     sign = -1 if forward else +1
     nd = p.ndim - 1                 # complex rank
     axis = axis % nd
+    if _use_ds(p.shape[1:], axis, p.dtype):
+        from . import pallas_ds as pds
+        q = pds.fft_axis_ds(pds.split_planar_ds(p), axis, forward)
+        if scale is not None:
+            q = pds.scale_ds(q, scale)
+        return pds.join_planar_ds(q)
     if _use_butterfly(p.shape[1:], axis, p.dtype):
         from . import pallas_butterfly as pb
         return pb.fft_axis_p(p, axis, forward, scale=scale)
@@ -583,6 +602,14 @@ def rfftn_p(x, axes, hext=None):
     (or zero-padded rows up to ``hext`` when given)."""
     a_last = axes[-1] % x.ndim
     N = x.shape[a_last]
+    if np.dtype(x.dtype) == np.float64:
+        from . import pallas_ds as pds
+        if pds.ds_wanted() and pds.supported_rfft_ds(x.shape, a_last):
+            y = pds.rfft_axis_ds(pds.split_real_ds(x), a_last, hext=hext)
+            y = pds.join_planar_ds(y)
+            for a in axes[:-1]:
+                y = fft1d_p(y, a, forward=True)
+            return y
     if _use_butterfly(x.shape, a_last, x.dtype, r2c=True):
         from . import pallas_butterfly as pb
         y = pb.rfft_axis_p(x, a_last, hext=hext)
@@ -621,6 +648,14 @@ def irfftn_p(p, axes, last_size, scale=None):
     nd = p.ndim - 1
     a_last = axes[-1] % nd
     N = int(last_size)
+    if np.dtype(p.dtype) == np.float64:
+        from . import pallas_ds as pds
+        full = list(p.shape[1:])
+        full[a_last] = N
+        if pds.ds_wanted() and pds.supported_rfft_ds(tuple(full), a_last):
+            y = pds.irfft_axis_ds(pds.split_planar_ds(p), a_last, N,
+                                  scale=scale)
+            return pds.join_real_ds(y)
     if _use_butterfly_c2r(p.shape[1:], a_last, N, p.dtype):
         from . import pallas_butterfly as pb
         return pb.irfft_axis_p(p, a_last, N, scale=scale)

@@ -16,12 +16,21 @@ planar-DS real array ``(2, 2) + shape`` float32 — axis 0 = (re, im),
 axis 1 = (hi, lo).  Use :func:`to_ds` / :func:`from_ds` at the host
 boundary.
 
-Status: prototype tier (lead-axis kernel, radix-4/2 plans, N a power of
-two).  Measured accuracy/throughput: scripts/tpu_ds_probe.py →
-docs/precision.md.  Role: the performance-bearing analogue of the
-reference's double-precision FFTW build (reference: setup.py:83-141).
+Status: production tier for power-of-two extents ≤ ``_MAX_N_DS``:
+any-axis c2c (:func:`fft_axis_ds`, non-lead axes via one relayout),
+multi-axis driver (:func:`fftn_ds`), packed-real r2c/c2r
+(:func:`rfft_axis_ds` / :func:`irfft_axis_ds`, the N/2-point
+pack–transform–untangle method with DS-precision twiddles), jittable
+device-side boundary splits (:func:`split_planar_ds` /
+:func:`join_planar_ds`), and exact/compensated scaling.  Dispatched
+from the planar pipeline (parallel/planar.py, ``dtype='d'/'D'`` on TPU)
+and from the serial engine (ops/matfft.fft1d_p).  Measured
+accuracy/throughput: scripts/tpu_ds_probe.py → docs/precision.md.
+Role: the performance-bearing analogue of the reference's
+double-precision FFTW build (reference: setup.py:83-141).
 """
 import functools
+import os as _os
 
 import numpy as np
 
@@ -33,7 +42,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_butterfly import _bspec, _is_pow2
 
-__all__ = ['to_ds', 'from_ds', 'supported_ds', 'fft_axis_ds']
+__all__ = ['to_ds', 'from_ds', 'supported_ds', 'fft_axis_ds', 'fftn_ds',
+           'rfft_axis_ds', 'irfft_axis_ds', 'split_planar_ds',
+           'join_planar_ds', 'split_real_ds', 'join_real_ds',
+           'supported_rfft_ds', 'ds_mode', 'set_ds_mode']
 
 _LANE = 128
 _SUB = 8
@@ -249,15 +261,15 @@ def _kern_lead_ds(x_ref, tw_ref, o_ref, *, N, sign):
 
 
 def supported_ds(shape, axis):
-    """Gate for :func:`fft_axis_ds` — prototype scope: lead axis of a
-    power-of-two extent with lane-tileable trailing volume."""
+    """Gate for :func:`fft_axis_ds`: any axis of a power-of-two extent
+    ≤ ``_MAX_N_DS`` whose complementary volume tiles the (8, 128) VPU
+    block (non-lead axes pay one XLA relayout each way)."""
     nd = len(shape)
-    if axis % nd != 0:
-        return False
-    N = shape[0]
+    axis = axis % nd
+    N = shape[axis]
     if not _is_pow2(N) or N > _MAX_N_DS:
         return False
-    post = int(np.prod(shape[1:], dtype=np.int64)) if nd > 1 else 1
+    post = int(np.prod(shape, dtype=np.int64)) // N
     return post % (_SUB * _LANE) == 0
 
 
@@ -294,9 +306,9 @@ def _dispatch_ds(p, sign, interpret):
 
 def fft_axis_ds(p, axis=0, forward=True, interpret=None):
     """Unnormalized c2c FFT along ``axis`` of planar-DS data
-    ``(2, 2) + shape`` at double-single precision.  Prototype: the
-    transform axis is moved to the lead position (XLA relayout) when
-    ``axis != 0``."""
+    ``(2, 2) + shape`` at double-single precision.  A non-lead transform
+    axis is moved to the lead position for the kernel (one XLA relayout
+    each way)."""
     nd = p.ndim - 2
     axis = axis % nd
     if interpret is None:
@@ -307,3 +319,231 @@ def fft_axis_ds(p, axis=0, forward=True, interpret=None):
     if axis != 0:
         out = jnp.moveaxis(out, 2, 2 + axis)
     return out
+
+
+# ---------------------------------------------------------------------------
+# dispatch mode
+# ---------------------------------------------------------------------------
+# 'auto' (default): the planar pipeline and the serial engine route f64
+# work through the DS kernels on TPU whenever the shapes are supported;
+# 'on' forces DS even off-TPU (interpret mode — for tests); 'off'
+# disables it (x64 einsum fallback).
+_DS_MODE = _os.environ.get('MPI4PY_FFT_TPU_DS', 'auto')
+
+
+def set_ds_mode(mode):
+    global _DS_MODE
+    assert mode in ('auto', 'on', 'off')
+    _DS_MODE = mode
+
+
+def ds_mode():
+    return _DS_MODE
+
+
+def ds_wanted():
+    """Whether the DS tier should be dispatched for f64 on this backend
+    (shape gates apply separately)."""
+    if _DS_MODE == 'off':
+        return False
+    if _DS_MODE == 'on':
+        return True
+    return jax.default_backend() == 'tpu'
+
+
+# ---------------------------------------------------------------------------
+# jittable boundary conversions (device-side split/join; the numpy
+# ``to_ds``/``from_ds`` above remain for host tests)
+# ---------------------------------------------------------------------------
+
+def _split64(x):
+    """f64 array -> (hi, lo) f32 pair (exact: hi+lo == x)."""
+    hi = x.astype(jnp.float32)
+    return hi, (x - hi.astype(jnp.float64)).astype(jnp.float32)
+
+
+def split_planar_ds(p):
+    """Planar f64 ``(2,)+S`` -> planar-DS f32 ``(2, 2)+S``."""
+    hi, lo = _split64(p)
+    return jnp.stack([hi, lo], axis=1)
+
+
+def join_planar_ds(q):
+    """Planar-DS f32 ``(2, 2)+S`` -> planar f64 ``(2,)+S`` (exact)."""
+    return q[:, 0].astype(jnp.float64) + q[:, 1].astype(jnp.float64)
+
+
+def split_real_ds(x):
+    """Real f64 ``S`` -> real-DS f32 ``(2,)+S``."""
+    hi, lo = _split64(x)
+    return jnp.stack([hi, lo])
+
+
+def join_real_ds(q):
+    """Real-DS f32 ``(2,)+S`` -> real f64 ``S`` (exact)."""
+    return q[0].astype(jnp.float64) + q[1].astype(jnp.float64)
+
+
+# -- array-level complex-DS views -------------------------------------------
+
+def _unpack_cds(q):
+    """(2, 2, ...) array -> complex-DS tuple ((rh, rl), (ih, il))."""
+    return ((q[0, 0], q[0, 1]), (q[1, 0], q[1, 1]))
+
+
+def _pack_cds(z):
+    (rh, rl), (ih, il) = z
+    return jnp.stack([jnp.stack([rh, rl]), jnp.stack([ih, il])])
+
+
+def _cconj(z):
+    return (z[0], ds_neg(z[1]))
+
+
+def _scale_cds(z, s):
+    """Compensated scalar multiply of a complex-DS tuple by f64 ``s``
+    (exact when s is a power of two; ~2^-48 otherwise)."""
+    s = float(s)
+    s_hi = np.float32(s)
+    s_lo = np.float32(s - np.float64(s_hi))
+    sc = (jnp.float32(s_hi), jnp.float32(s_lo))
+    return (ds_mul(z[0], sc), ds_mul(z[1], sc))
+
+
+def scale_ds(q, s):
+    """Compensated scalar multiply of a planar-DS array by f64 ``s``."""
+    return _pack_cds(_scale_cds(_unpack_cds(q), s))
+
+
+# ---------------------------------------------------------------------------
+# multi-axis driver
+# ---------------------------------------------------------------------------
+
+def fftn_ds(q, axes, forward=True, scale=None, interpret=None):
+    """c2c over ``axes`` of planar-DS ``(2, 2)+S`` data; unnormalized
+    unless ``scale`` (compensated elementwise pass) is given."""
+    for ax in axes:
+        q = fft_axis_ds(q, ax, forward, interpret=interpret)
+    if scale is not None:
+        q = scale_ds(q, scale)
+    return q
+
+
+# ---------------------------------------------------------------------------
+# packed-real r2c / c2r (Makhoul N/2-point method, DS throughout)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _rfft_tw_ds(N, inverse):
+    """Untangle twiddles, f64-built and split to DS rows (2, 2, H+1):
+    forward: -(i/2) e^{-2 pi i k / N};  inverse: e^{+2 pi i k / N}."""
+    H = N // 2
+    k = np.arange(H + 1)
+    w = np.exp((+2j if inverse else -2j) * np.pi * k / N)
+    if not inverse:
+        w *= -0.5j
+    c = np.stack([w.real, w.imag])              # (2, H+1) f64
+    hi = c.astype(np.float32)
+    lo = (c - hi.astype(np.float64)).astype(np.float32)
+    return np.stack([hi, lo], axis=1)           # (2, 2, H+1)
+
+
+def _tw_bcast(tw, ndim_rest):
+    """(2, 2, T) -> complex-DS tuple of rows broadcastable over rest."""
+    t = jnp.asarray(tw).reshape((2, 2, tw.shape[2]) + (1,) * ndim_rest)
+    return _unpack_cds(t)
+
+
+def supported_rfft_ds(shape, axis):
+    """Gate for the packed-real pair: even pow-2 extent whose HALF still
+    meets the c2c kernel gate."""
+    nd = len(shape)
+    axis = axis % nd
+    N = shape[axis]
+    if N < 4 or N % 2:
+        return False
+    half = list(shape)
+    half[axis] = N // 2
+    return supported_ds(tuple(half), axis)
+
+
+def rfft_axis_ds(x, axis=0, interpret=None, hext=None):
+    """Real-DS ``(2,)+S`` -> half-spectrum planar-DS ``(2, 2)+S'`` with
+    ``S'[axis] = N//2+1`` (zero rows appended up to ``hext`` when
+    given).  Unnormalized FFTW r2c semantics at DS precision: the even/
+    odd samples are packed into one N/2-point c2c kernel pass and the
+    spectrum untangled with DS twiddles (the method of the f32 packed
+    kernel, ops/pallas_butterfly.py, carried out in two-float32)."""
+    nd = x.ndim - 1
+    axis = axis % nd
+    N = x.shape[1 + axis]
+    H = N // 2
+    x = jnp.moveaxis(x, 1 + axis, 1)            # (2, N, rest)
+    # pack: z[n] = x[2n] + i x[2n+1] — one strided gather
+    xe = x[:, 0::2]
+    xo = x[:, 1::2]
+    q = jnp.stack([xe, xo])                     # (2=cplx, 2=ds, H, rest)
+    Z = fft_axis_ds(q, 0, True, interpret=interpret)
+    z = _unpack_cds(Z)
+    # A[k] = Z[k mod H], B[k] = conj(Z[(H-k) mod H]), k = 0..H
+    idx_a = np.concatenate([np.arange(H), [0]])
+    idx_b = np.concatenate([[0], np.arange(H - 1, 0, -1), [0]])
+
+    def take(t, idx):
+        g = jnp.asarray(idx)
+        return tuple(tuple(jnp.take(v, g, axis=0) for v in comp)
+                     for comp in t)
+
+    A = take(z, idx_a)
+    B = _cconj(take(z, idx_b))
+    # X[k] = (A+B)/2 + W[k] (A-B),  W = -(i/2) e^{-2 pi i k/N}
+    S = _scale_cds(_cadd(A, B), 0.5)
+    D = _csub(A, B)
+    W = _tw_bcast(_rfft_tw_ds(N, inverse=False), x.ndim - 2)
+    X = _cadd(S, _cmul(D, W))
+    out = _pack_cds(X)                          # (2, 2, H+1, rest)
+    if hext is not None and hext > H + 1:
+        pad = [(0, 0)] * out.ndim
+        pad[2] = (0, hext - (H + 1))
+        out = jnp.pad(out, pad)
+    return jnp.moveaxis(out, 2, 2 + axis)
+
+
+def irfft_axis_ds(p, axis, n, scale=None, interpret=None):
+    """Half-spectrum planar-DS ``(2, 2)+S'`` -> real-DS ``(2,)+S`` with
+    ``S[axis] = n``; rows beyond ``n//2+1`` (shardable-extent padding)
+    are ignored.  Unnormalized FFTW c2r semantics at DS precision;
+    ``scale`` is a compensated elementwise pass on the output."""
+    nd = p.ndim - 2
+    axis = axis % nd
+    N = int(n)
+    H = N // 2
+    p = jnp.moveaxis(p, 2 + axis, 2)            # (2, 2, nh, rest)
+    p = p[:, :, :H + 1]
+    X = _unpack_cds(p)
+
+    def take(t, idx):
+        g = jnp.asarray(idx)
+        return tuple(tuple(jnp.take(v, g, axis=0) for v in comp)
+                     for comp in t)
+
+    idx_k = np.arange(H)
+    idx_r = np.concatenate([[H], np.arange(H - 1, 0, -1)])  # H-k, k=0..H-1
+    Xk = take(X, idx_k)
+    Xr = _cconj(take(X, idx_r))
+    # E = Xk + conj(X[H-k]);  O = (Xk - conj(X[H-k])) e^{+2 pi i k/N}
+    E = _cadd(Xk, Xr)
+    W = _tw_bcast(_rfft_tw_ds(N, inverse=True)[:, :, :H], p.ndim - 3)
+    O = _cmul(_csub(Xk, Xr), W)
+    # Z = E + i O: (Er - Oi) + i (Ei + Or)
+    Z = (ds_sub(E[0], O[1]), ds_add(E[1], O[0]))
+    y = fft_axis_ds(_pack_cds(Z), 0, False, interpret=interpret)
+    yz = _unpack_cds(y)                         # re = x[2n], im = x[2n+1]
+    if scale is not None:
+        yz = _scale_cds(yz, scale)
+    # interleave: (2=ds, H, 2, rest) -> (2, N, rest)
+    re = jnp.stack(yz[0])                       # (2, H, rest)
+    im = jnp.stack(yz[1])
+    out = jnp.stack([re, im], axis=2)           # (2, H, 2, rest)
+    out = out.reshape((2, N) + out.shape[3:])
+    return jnp.moveaxis(out, 1, 1 + axis)

@@ -213,19 +213,182 @@ class PlanarPFFT(object):
         self.executor = executor
         self._nmesh = nmesh
 
+        # double-single f64 tier (ops/pallas_ds.py): when the dtype is
+        # double and the shapes ride the DS kernels, the pipeline runs in
+        # two-float32 compensated arithmetic on the fast VPU path instead
+        # of the emulated x64 einsum engine — the performance-bearing
+        # analogue of the reference's double-precision FFTW build
+        # (reference: libfft.py:225,314 f64 default, setup.py:83-141)
+        self._ds_hext = None
+        self._ds = self._ds_supported()
+
         # donate=True reuses the input buffer's HBM for intermediates
         # (in-place semantics like FFTW_DESTROY_INPUT) — halves the
         # footprint for chip-filling transforms; the caller's input array
         # is invalidated after the call.
         dn = (0,) if donate else ()
-        fwd = self._forward_shmap if executor == 'shard_map' \
-            else self._forward_impl
-        bwd = self._backward_shmap if executor == 'shard_map' \
-            else self._backward_impl
+        if self._ds:
+            fwd = self._forward_ds_shmap if executor == 'shard_map' \
+                else self._forward_ds
+            bwd = self._backward_ds_shmap if executor == 'shard_map' \
+                else self._backward_ds
+        else:
+            fwd = self._forward_shmap if executor == 'shard_map' \
+                else self._forward_impl
+            bwd = self._backward_shmap if executor == 'shard_map' \
+                else self._backward_impl
         self._jit_forward = jax.jit(fwd, static_argnums=(1,),
                                     donate_argnums=dn)
         self._jit_backward = jax.jit(bwd, static_argnums=(1,),
                                      donate_argnums=dn)
+
+    # -- double-single f64 tier ----------------------------------------
+    def _ds_supported(self):
+        """Whether this plan runs on the DS kernel tier: double
+        precision, no dealiasing, and every stage's (per-shard) shapes
+        inside the kernel gates.  Multi-device: c2c over evenly
+        divisible extents on the shard_map executor (the (2, 2)+S
+        planar-DS layout rides the tiled all_to_all transposes
+        unchanged).  r2c pads the halved axis to a tileable extent
+        (``_ds_hext``, exact zero rows) for the mid-axis passes."""
+        from ..ops import pallas_ds as ds
+        if not ds.ds_wanted() or self.rdtype != np.float64:
+            return False
+        if any(f != 1.0 for f in self._pad):
+            return False
+        shape = self._input_shape
+        axes = self.axes
+        if self._nmesh == 1:
+            if self.real_transform:
+                ax0 = axes[-1]
+                if not ds.supported_rfft_ds(shape, ax0):
+                    return False
+                # pad the halved axis with zero rows to the smallest m
+                # that keeps every mid-axis pass (8, 128)-tileable
+                nh = shape[ax0] // 2 + 1
+                need = 1
+                for ax in axes[:-1]:
+                    pother = int(np.prod(
+                        [shape[j] for j in range(len(shape))
+                         if j not in (ax, ax0)], dtype=np.int64))
+                    need = int(np.lcm(
+                        need, 1024 // int(np.gcd(1024, pother))))
+                m = -(-nh // need) * need
+                if m > 2 * nh + 8:      # padding would outweigh the win
+                    return False
+                spec = list(shape)
+                spec[ax0] = m
+                if not all(ds.supported_ds(tuple(spec), ax)
+                           for ax in axes[:-1]):
+                    return False
+                self._ds_hext = m
+                return True
+            return all(ds.supported_ds(shape, ax) for ax in axes)
+        # multi-device: c2c, shard_map, divisible extents, shard gates
+        if (self.real_transform or self.executor != 'shard_map'
+                or self._phys_pad_shape != tuple(shape)
+                or self._spec_pad_shape != tuple(self._output_shape)):
+            return False
+        stage_axes = [axes[-1]] + list(reversed(axes[:-1]))
+        for pen, ax in zip(self.pencils, stage_axes):
+            local = tuple(n // pen.subcomm[j].Get_size()
+                          for j, n in enumerate(shape))
+            if not ds.supported_ds(local, ax):
+                return False
+        return True
+
+    def _forward_ds(self, x, normalize):
+        """Single-device DS forward (c2c and r2c)."""
+        from ..ops import pallas_ds as ds
+        axes = self.axes
+        ax0 = axes[-1]
+        if self.real_transform:
+            q = ds.rfft_axis_ds(ds.split_real_ds(x), ax0,
+                                hext=self._ds_hext)
+        else:
+            q = ds.fft_axis_ds(ds.split_planar_ds(x), ax0, True)
+        for ax in reversed(axes[:-1]):
+            q = ds.fft_axis_ds(q, ax, True)
+        if normalize:
+            q = ds.scale_ds(q, self._norm)
+        p = ds.join_planar_ds(q)
+        if self.real_transform and self._ds_hext is not None:
+            p = self._slice_ax(p, 1 + ax0, self._output_shape[ax0])
+        return p
+
+    def _backward_ds(self, p, normalize):
+        """Single-device DS backward (c2c and c2r)."""
+        from ..ops import pallas_ds as ds
+        axes = self.axes
+        ax0 = axes[-1]
+        q = ds.split_planar_ds(p)
+        if self.real_transform and self._ds_hext is not None:
+            q = self._pad_ax(q, 2 + ax0, self._ds_hext)
+        for ax in axes[:-1]:
+            q = ds.fft_axis_ds(q, ax, False)
+        sc = self._norm if normalize else None
+        if self.real_transform:
+            y = ds.irfft_axis_ds(q, ax0, self._input_shape[ax0], scale=sc)
+            return ds.join_real_ds(y)
+        q = ds.fft_axis_ds(q, ax0, False)
+        if sc is not None:
+            q = ds.scale_ds(q, sc)
+        return ds.join_planar_ds(q)
+
+    def _transpose_lax_ds(self, q, i, forward=True):
+        """Pencil transpose of planar-DS data: same tiled all_to_all as
+        :meth:`_transpose_lax`, with the extra (hi, lo) leading axis."""
+        pa, pb = self.pencils[i], self.pencils[i + 1]
+        g = pa.subcomm[pb.axis].name
+        if g is None:
+            return q
+        if forward:
+            return lax.all_to_all(q, g, split_axis=2 + pa.axis,
+                                  concat_axis=2 + pb.axis, tiled=True)
+        return lax.all_to_all(q, g, split_axis=2 + pb.axis,
+                              concat_axis=2 + pa.axis, tiled=True)
+
+    def _forward_ds_shmap(self, x, normalize):
+        from ..ops import pallas_ds as ds
+        axes = self.axes
+
+        def local(q):
+            q = ds.fft_axis_ds(q, axes[-1], True)
+            for i, ax in enumerate(reversed(axes[:-1])):
+                q = self._transpose_lax_ds(q, i, True)
+                q = ds.fft_axis_ds(q, ax, True)
+            if normalize:
+                q = ds.scale_ds(q, self._norm)
+            return q
+
+        names0 = [c.name for c in self.pencil[0].subcomm]
+        namesN = [c.name for c in self.pencils[-1].subcomm]
+        f = _checkfree_shard_map(
+            local, mesh=self.subcomm.mesh,
+            in_specs=(PartitionSpec(None, None, *names0),),
+            out_specs=PartitionSpec(None, None, *namesN))
+        return ds.join_planar_ds(f(ds.split_planar_ds(x)))
+
+    def _backward_ds_shmap(self, p, normalize):
+        from ..ops import pallas_ds as ds
+        axes = self.axes
+
+        def local(q):
+            for i, ax in enumerate(axes[:-1]):
+                q = ds.fft_axis_ds(q, ax, False)
+                q = self._transpose_lax_ds(q, len(axes) - 2 - i, False)
+            q = ds.fft_axis_ds(q, axes[-1], False)
+            if normalize:
+                q = ds.scale_ds(q, self._norm)
+            return q
+
+        names0 = [c.name for c in self.pencil[0].subcomm]
+        namesN = [c.name for c in self.pencils[-1].subcomm]
+        f = _checkfree_shard_map(
+            local, mesh=self.subcomm.mesh,
+            in_specs=(PartitionSpec(None, None, *namesN),),
+            out_specs=PartitionSpec(None, None, *names0))
+        return ds.join_planar_ds(f(ds.split_planar_ds(p)))
 
     # ------------------------------------------------------------------
     def _padded(self, ax):
@@ -568,12 +731,18 @@ class PlanarPFFT(object):
     # free here too)
     def forward_fn(self, x, normalize=True):
         self._check_shape(x, False)
+        if self._ds:
+            return (self._forward_ds_shmap if self.executor == 'shard_map'
+                    else self._forward_ds)(x, normalize)
         if self.executor == 'shard_map':
             return self._forward_shmap(x, normalize)
         return self._forward_impl(x, normalize)
 
     def backward_fn(self, p, normalize=False):
         self._check_shape(p, True)
+        if self._ds:
+            return (self._backward_ds_shmap if self.executor == 'shard_map'
+                    else self._backward_ds)(p, normalize)
         if self.executor == 'shard_map':
             return self._backward_shmap(p, normalize)
         return self._backward_impl(p, normalize)
