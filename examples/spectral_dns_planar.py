@@ -61,29 +61,39 @@ def make_solver(N=(64, 64, 64), L=(2 * np.pi, 4 * np.pi, 4 * np.pi),
         """planar multiply by (i*K): (re, im) -> (-K*im, K*re)."""
         return jnp.stack([-K_ax * p[1], K_ax * p[0]])
 
-    def compute_rhs(U_hat):
+    # The spectral-operator arrays (K, K^2, K/K^2 — ~2 GB at 512^3) are
+    # passed as ARGUMENTS to every jitted program, never closed over: a
+    # closure-captured concrete jax.Array is embedded as a program
+    # CONSTANT, and at chip-filling grids those constants blow past the
+    # compile pipeline's request-size limits (the actual cause of the
+    # round-3/4 "512^3 DNS step does not compile" wall — see
+    # docs/benchmarks.md milestone #5).
+    def compute_rhs(U_hat, K, K2, KoK2):
         u = [bck(U_hat[j]) for j in range(3)]
-        w = [bck(pmul_i(Kj[1], U_hat[2]) - pmul_i(Kj[2], U_hat[1])),
-             bck(pmul_i(Kj[2], U_hat[0]) - pmul_i(Kj[0], U_hat[2])),
-             bck(pmul_i(Kj[0], U_hat[1]) - pmul_i(Kj[1], U_hat[0]))]
+        w = [bck(pmul_i(K[1], U_hat[2]) - pmul_i(K[2], U_hat[1])),
+             bck(pmul_i(K[2], U_hat[0]) - pmul_i(K[0], U_hat[2])),
+             bck(pmul_i(K[0], U_hat[1]) - pmul_i(K[1], U_hat[0]))]
         rhs = jnp.stack([fwd(u[1] * w[2] - u[2] * w[1]),
                          fwd(u[2] * w[0] - u[0] * w[2]),
                          fwd(u[0] * w[1] - u[1] * w[0])])
-        P_hat = jnp.sum(rhs * KoK2j[:, None], 0)
-        rhs = rhs - P_hat * Kj[:, None]
-        rhs = rhs - nu * K2j * U_hat
+        P_hat = jnp.sum(rhs * KoK2[:, None], 0)
+        rhs = rhs - P_hat * K[:, None]
+        rhs = rhs - nu * K2 * U_hat
         return rhs
 
     @jax.jit
-    def step(U_hat):
+    def _step_fused(U_hat, K, K2, KoK2):
         U_hat0 = U_hat
         U_hat1 = U_hat
         for rk in range(4):
-            dU = compute_rhs(U_hat)
+            dU = compute_rhs(U_hat, K, K2, KoK2)
             if rk < 3:
                 U_hat = U_hat0 + b_rk[rk] * dt * dU
             U_hat1 = U_hat1 + a_rk[rk] * dt * dU
         return U_hat1
+
+    def step(U_hat):
+        return _step_fused(U_hat, Kj, K2j, KoK2j)
 
     # split-step driver: one jitted program per RK substage (9 transforms
     # each) instead of the 36-transform fused step — the fallback for
@@ -92,22 +102,75 @@ def make_solver(N=(64, 64, 64), L=(2 * np.pi, 4 * np.pi, 4 * np.pi),
     # stage weights travel as traced scalars so 2 compiled programs
     # cover all 4 substages.
     @jax.jit
-    def _rk_mid(U_hat, U_hat0, U_hat1, b, a):
-        dU = compute_rhs(U_hat)
+    def _rk_mid(U_hat, U_hat0, U_hat1, b, a, K, K2, KoK2):
+        dU = compute_rhs(U_hat, K, K2, KoK2)
         return U_hat0 + (b * dt) * dU, U_hat1 + (a * dt) * dU
 
     @jax.jit
-    def _rk_last(U_hat, U_hat1, a):
-        return U_hat1 + (a * dt) * compute_rhs(U_hat)
+    def _rk_last(U_hat, U_hat1, a, K, K2, KoK2):
+        return U_hat1 + (a * dt) * compute_rhs(U_hat, K, K2, KoK2)
 
     def step_split(U_hat):
         U0 = U1 = U_hat
         Uc = U_hat
         for rk in range(3):
             Uc, U1 = _rk_mid(Uc, U0, U1, jnp.asarray(b_rk[rk], rdt),
-                             jnp.asarray(a_rk[rk], rdt))
-        return _rk_last(Uc, U1, jnp.asarray(a_rk[3], rdt))
+                             jnp.asarray(a_rk[rk], rdt),
+                             Kj, K2j, KoK2j)
+        return _rk_last(Uc, U1, jnp.asarray(a_rk[3], rdt),
+                        Kj, K2j, KoK2j)
     step.split = step_split
+
+    # per-pipeline driver: ONE compiled program per transform (36
+    # dispatches/step) + small jitted pointwise programs.  Milestone #3
+    # proves single-pipeline 512^3 programs compile on this toolchain's
+    # remote helper while >=4-pipeline programs crash it — this driver
+    # trades ~per-dispatch launch overhead for compilability at
+    # chip-filling grids (docs/benchmarks.md milestone #5).
+    bk1 = jax.jit(lambda p: pfft.backward_fn(p))
+    fw1 = jax.jit(lambda u: pfft.forward_fn(u))
+
+    curl_spec = jax.jit(lambda Uh, K: jnp.stack([
+        pmul_i(K[1], Uh[2]) - pmul_i(K[2], Uh[1]),
+        pmul_i(K[2], Uh[0]) - pmul_i(K[0], Uh[2]),
+        pmul_i(K[0], Uh[1]) - pmul_i(K[1], Uh[0])]))
+    cross_r = jax.jit(lambda u0, u1, u2, w0, w1, w2: (
+        u1 * w2 - u2 * w1, u2 * w0 - u0 * w2, u0 * w1 - u1 * w0))
+
+    @jax.jit
+    def _proj_mid(r0, r1, r2, U_hat, U_hat0, U_hat1, b, a, K, K2, KoK2):
+        rhs = jnp.stack([r0, r1, r2])
+        P_hat = jnp.sum(rhs * KoK2[:, None], 0)
+        rhs = rhs - P_hat * K[:, None] - nu * K2 * U_hat
+        return U_hat0 + (b * dt) * rhs, U_hat1 + (a * dt) * rhs
+
+    @jax.jit
+    def _proj_last(r0, r1, r2, U_hat, U_hat1, a, K, K2, KoK2):
+        rhs = jnp.stack([r0, r1, r2])
+        P_hat = jnp.sum(rhs * KoK2[:, None], 0)
+        rhs = rhs - P_hat * K[:, None] - nu * K2 * U_hat
+        return U_hat1 + (a * dt) * rhs
+
+    def _substage(U_hat):
+        u = [bk1(U_hat[j]) for j in range(3)]
+        c = curl_spec(U_hat, Kj)
+        w = [bk1(c[j]) for j in range(3)]
+        cr = cross_r(*u, *w)
+        return [fw1(cr[j]) for j in range(3)]
+
+    def step_perpipe(U_hat):
+        U0 = U1 = U_hat
+        Uc = U_hat
+        for rk in range(3):
+            r = _substage(Uc)
+            Uc, U1 = _proj_mid(*r, Uc, U0, U1,
+                               jnp.asarray(b_rk[rk], rdt),
+                               jnp.asarray(a_rk[rk], rdt),
+                               Kj, K2j, KoK2j)
+        r = _substage(Uc)
+        return _proj_last(*r, Uc, U1, jnp.asarray(a_rk[3], rdt),
+                          Kj, K2j, KoK2j)
+    step.perpipe = step_perpipe
 
     U0 = np.zeros((3,) + tuple(N), dtype=rdt)
     U0[0] = np.sin(X[0]) * np.cos(X[1]) * np.cos(X[2])

@@ -334,6 +334,39 @@ class Transform(object):
         """
         from ..distarray import DistArray
         normalize = kw.pop('normalize', self._default_normalize)
+        # planar=True: device-resident planar path — logically complex
+        # arrays travel as planar (2,)+shape real JAX arrays on BOTH
+        # sides and never stage through the host (the buffer-API answer
+        # to the reference's zero-copy planned buffers,
+        # fftw_xfftn.pyx:237-249).  Also taken automatically when the
+        # caller hands a planar-shaped array in.
+        planar = kw.pop('planar', None)
+        if input_array is not None and not self._host_mode:
+            in_planar_shape = (2,) + self._in_shape if self._planars[0] \
+                else self._in_shape
+            if planar is None and self._planars[0] and \
+                    tuple(np.shape(input_array)) == in_planar_shape and \
+                    np.dtype(getattr(input_array, 'dtype',
+                                     np.float64)).kind == 'f':
+                planar = True
+            if planar:
+                assert tuple(np.shape(input_array)) == in_planar_shape, \
+                    f"planar path expects shape {in_planar_shape}"
+                x = input_array
+                if not isinstance(x, jax.Array):
+                    ind = np.dtype(self._in_dtype)
+                    rdt = ind if ind.kind == 'f' else np.dtype(
+                        'float32' if ind.itemsize == 8 else 'float64')
+                    x = jnp.asarray(np.ascontiguousarray(
+                        np.asarray(x, dtype=rdt)))
+                x = jax.device_put(
+                    x, self._pencil[0].boundary_sharding(
+                        int(self._planars[0])))
+                y = self._jit(x, bool(normalize))
+                if output_array is not None:
+                    output_array[...] = np.asarray(y)
+                    return output_array
+                return y
         if input_array is None:
             input_array = self.input_array
         need_host = self._host_mode or self._planars[0]

@@ -152,20 +152,30 @@ def m5():
           flush=True)
     pfft, U_hat, step, energy = dns.make_solver(N=(n, n, n), dtype='f')
     t0 = time.perf_counter()
-    if os.environ.get('M5_SPLIT', '0') == '1':
-        step = step.split
-    try:
-        U_hat = step(U_hat)
-        _sync(jax, U_hat)
-    except Exception as e:                          # noqa: BLE001
-        # chip-filling fused 36-transform programs can crash the remote
-        # compile helper of this toolchain; fall back to the per-substage
-        # driver (9 transforms per program)
-        print(f"  fused step failed ({type(e).__name__}); using the "
-              "split-step driver", flush=True)
-        step = step.split
-        U_hat = step(U_hat)
-        _sync(jax, U_hat)
+    mode = os.environ.get('M5_MODE',
+                          'split' if os.environ.get('M5_SPLIT') == '1'
+                          else 'fused')
+    drivers = {'fused': step, 'split': step.split,
+               'perpipe': step.perpipe}
+    # escalating fallback: fused 36-transform program -> 9-transform
+    # substage programs -> one program per transform (the compile-helper
+    # limit is pinned between 1 and 4 pipelines/program at 512^3;
+    # docs/benchmarks.md milestone #5)
+    order = {'fused': ('fused', 'split', 'perpipe'),
+             'split': ('split', 'perpipe'),
+             'perpipe': ('perpipe',)}[mode]
+    for i, name in enumerate(order):
+        step = drivers[name]
+        try:
+            U_hat = step(U_hat)
+            _sync(jax, U_hat)
+            print(f"  driver: {name}", flush=True)
+            break
+        except Exception as e:                      # noqa: BLE001
+            if i == len(order) - 1:
+                raise
+            print(f"  {name} step failed ({type(e).__name__}); trying "
+                  f"{order[i + 1]}", flush=True)
     print(f"  first step (incl. compile): {time.perf_counter() - t0:.1f}s",
           flush=True)
     for _ in range(2):                  # warmup (one-time tunnel cost)
