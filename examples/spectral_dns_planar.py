@@ -42,14 +42,23 @@ def make_solver(N=(64, 64, 64), L=(2 * np.pi, 4 * np.pi, 4 * np.pi),
 
     k = [np.fft.fftfreq(n, 1. / n) for n in N[:-1]]
     k.append(np.fft.rfftfreq(N[-1], 1. / N[-1]))
-    Ks = np.meshgrid(*k, indexing='ij', sparse=True)
     Lp = 2 * np.pi / np.asarray(L)
     spec = pfft.global_shape(True)[1:]
-    K = np.array([np.broadcast_to(Ks[i] * Lp[i], spec) for i in range(3)],
-                 dtype=rdt)
-    K2 = np.sum(K * K, 0)
-    KoK2 = (K / np.where(K2 == 0, 1, K2)).astype(rdt)
-    Kj, K2j, KoK2j = jnp.asarray(K), jnp.asarray(K2), jnp.asarray(KoK2)
+    # SPARSE spectral operators: each wavenumber component is a rank-1
+    # broadcastable vector (a few KB), never a dense volume — K^2 and
+    # K/K^2 are formed on the fly inside the fused elementwise passes.
+    # Dense (3,)+spec operator volumes are ~1.9 GB at 512^3: they both
+    # crowd HBM and, when captured by a jit closure, blow the compile
+    # pipeline's request-size limits (docs/benchmarks.md milestone #5).
+    Kv = []
+    for i in range(3):
+        ki = (k[i] * Lp[i]).astype(rdt)
+        if len(ki) < spec[i]:               # shardable-extent pad rows
+            ki = np.pad(ki, (0, spec[i] - len(ki)))
+        sh = [1, 1, 1]
+        sh[i] = spec[i]
+        Kv.append(jnp.asarray(ki.reshape(sh)))
+    Kj = tuple(Kv)
 
     a_rk = [1. / 6., 1. / 3., 1. / 3., 1. / 6.]
     b_rk = [0.5, 0.5, 1.]
@@ -61,39 +70,43 @@ def make_solver(N=(64, 64, 64), L=(2 * np.pi, 4 * np.pi, 4 * np.pi),
         """planar multiply by (i*K): (re, im) -> (-K*im, K*re)."""
         return jnp.stack([-K_ax * p[1], K_ax * p[0]])
 
-    # The spectral-operator arrays (K, K^2, K/K^2 — ~2 GB at 512^3) are
-    # passed as ARGUMENTS to every jitted program, never closed over: a
-    # closure-captured concrete jax.Array is embedded as a program
-    # CONSTANT, and at chip-filling grids those constants blow past the
-    # compile pipeline's request-size limits (the actual cause of the
-    # round-3/4 "512^3 DNS step does not compile" wall — see
-    # docs/benchmarks.md milestone #5).
-    def compute_rhs(U_hat, K, K2, KoK2):
+    # The sparse operator vectors are passed as ARGUMENTS to every
+    # jitted program, never closed over (a closure-captured concrete
+    # jax.Array becomes a program constant).
+    def _project(rhs, U_hat, K):
+        """Pressure projection + viscous term, all operators formed
+        in-fusion from the rank-1 wavenumber vectors."""
+        K0, K1, K2v = K
+        K2 = K0 * K0 + K1 * K1 + K2v * K2v
+        K2s = jnp.where(K2 == 0, 1, K2)
+        P_hat = (rhs[0] * K0 + rhs[1] * K1 + rhs[2] * K2v) / K2s
+        rhs = rhs - jnp.stack([P_hat * K0, P_hat * K1, P_hat * K2v])
+        return rhs - nu * K2 * U_hat
+
+    def compute_rhs(U_hat, K):
+        K0, K1, K2v = K
         u = [bck(U_hat[j]) for j in range(3)]
-        w = [bck(pmul_i(K[1], U_hat[2]) - pmul_i(K[2], U_hat[1])),
-             bck(pmul_i(K[2], U_hat[0]) - pmul_i(K[0], U_hat[2])),
-             bck(pmul_i(K[0], U_hat[1]) - pmul_i(K[1], U_hat[0]))]
+        w = [bck(pmul_i(K1, U_hat[2]) - pmul_i(K2v, U_hat[1])),
+             bck(pmul_i(K2v, U_hat[0]) - pmul_i(K0, U_hat[2])),
+             bck(pmul_i(K0, U_hat[1]) - pmul_i(K1, U_hat[0]))]
         rhs = jnp.stack([fwd(u[1] * w[2] - u[2] * w[1]),
                          fwd(u[2] * w[0] - u[0] * w[2]),
                          fwd(u[0] * w[1] - u[1] * w[0])])
-        P_hat = jnp.sum(rhs * KoK2[:, None], 0)
-        rhs = rhs - P_hat * K[:, None]
-        rhs = rhs - nu * K2 * U_hat
-        return rhs
+        return _project(rhs, U_hat, K)
 
     @jax.jit
-    def _step_fused(U_hat, K, K2, KoK2):
+    def _step_fused(U_hat, K):
         U_hat0 = U_hat
         U_hat1 = U_hat
         for rk in range(4):
-            dU = compute_rhs(U_hat, K, K2, KoK2)
+            dU = compute_rhs(U_hat, K)
             if rk < 3:
                 U_hat = U_hat0 + b_rk[rk] * dt * dU
             U_hat1 = U_hat1 + a_rk[rk] * dt * dU
         return U_hat1
 
     def step(U_hat):
-        return _step_fused(U_hat, Kj, K2j, KoK2j)
+        return _step_fused(U_hat, Kj)
 
     # split-step driver: one jitted program per RK substage (9 transforms
     # each) instead of the 36-transform fused step — the fallback for
@@ -102,23 +115,21 @@ def make_solver(N=(64, 64, 64), L=(2 * np.pi, 4 * np.pi, 4 * np.pi),
     # stage weights travel as traced scalars so 2 compiled programs
     # cover all 4 substages.
     @jax.jit
-    def _rk_mid(U_hat, U_hat0, U_hat1, b, a, K, K2, KoK2):
-        dU = compute_rhs(U_hat, K, K2, KoK2)
+    def _rk_mid(U_hat, U_hat0, U_hat1, b, a, K):
+        dU = compute_rhs(U_hat, K)
         return U_hat0 + (b * dt) * dU, U_hat1 + (a * dt) * dU
 
     @jax.jit
-    def _rk_last(U_hat, U_hat1, a, K, K2, KoK2):
-        return U_hat1 + (a * dt) * compute_rhs(U_hat, K, K2, KoK2)
+    def _rk_last(U_hat, U_hat1, a, K):
+        return U_hat1 + (a * dt) * compute_rhs(U_hat, K)
 
     def step_split(U_hat):
         U0 = U1 = U_hat
         Uc = U_hat
         for rk in range(3):
             Uc, U1 = _rk_mid(Uc, U0, U1, jnp.asarray(b_rk[rk], rdt),
-                             jnp.asarray(a_rk[rk], rdt),
-                             Kj, K2j, KoK2j)
-        return _rk_last(Uc, U1, jnp.asarray(a_rk[3], rdt),
-                        Kj, K2j, KoK2j)
+                             jnp.asarray(a_rk[rk], rdt), Kj)
+        return _rk_last(Uc, U1, jnp.asarray(a_rk[3], rdt), Kj)
     step.split = step_split
 
     # per-pipeline driver: ONE compiled program per transform (36
@@ -138,17 +149,13 @@ def make_solver(N=(64, 64, 64), L=(2 * np.pi, 4 * np.pi, 4 * np.pi),
         u1 * w2 - u2 * w1, u2 * w0 - u0 * w2, u0 * w1 - u1 * w0))
 
     @jax.jit
-    def _proj_mid(r0, r1, r2, U_hat, U_hat0, U_hat1, b, a, K, K2, KoK2):
-        rhs = jnp.stack([r0, r1, r2])
-        P_hat = jnp.sum(rhs * KoK2[:, None], 0)
-        rhs = rhs - P_hat * K[:, None] - nu * K2 * U_hat
+    def _proj_mid(r0, r1, r2, U_hat, U_hat0, U_hat1, b, a, K):
+        rhs = _project(jnp.stack([r0, r1, r2]), U_hat, K)
         return U_hat0 + (b * dt) * rhs, U_hat1 + (a * dt) * rhs
 
     @jax.jit
-    def _proj_last(r0, r1, r2, U_hat, U_hat1, a, K, K2, KoK2):
-        rhs = jnp.stack([r0, r1, r2])
-        P_hat = jnp.sum(rhs * KoK2[:, None], 0)
-        rhs = rhs - P_hat * K[:, None] - nu * K2 * U_hat
+    def _proj_last(r0, r1, r2, U_hat, U_hat1, a, K):
+        rhs = _project(jnp.stack([r0, r1, r2]), U_hat, K)
         return U_hat1 + (a * dt) * rhs
 
     def _substage(U_hat):
@@ -165,11 +172,9 @@ def make_solver(N=(64, 64, 64), L=(2 * np.pi, 4 * np.pi, 4 * np.pi),
             r = _substage(Uc)
             Uc, U1 = _proj_mid(*r, Uc, U0, U1,
                                jnp.asarray(b_rk[rk], rdt),
-                               jnp.asarray(a_rk[rk], rdt),
-                               Kj, K2j, KoK2j)
+                               jnp.asarray(a_rk[rk], rdt), Kj)
         r = _substage(Uc)
-        return _proj_last(*r, Uc, U1, jnp.asarray(a_rk[3], rdt),
-                          Kj, K2j, KoK2j)
+        return _proj_last(*r, Uc, U1, jnp.asarray(a_rk[3], rdt), Kj)
     step.perpipe = step_perpipe
 
     U0 = np.zeros((3,) + tuple(N), dtype=rdt)

@@ -99,9 +99,9 @@ def main():
           "stream groups (f32)", flush=True)
     best = 0.0
     for rows, iters, muls, inner in (
-            (64, 500, 4, 16), (64, 500, 8, 8), (128, 250, 4, 16),
-            (64, 1000, 4, 16), (32, 1000, 8, 16), (128, 500, 8, 8),
-            (256, 250, 4, 16)):
+            (8, 4000, 8, 32), (8, 4000, 16, 16), (8, 8000, 8, 32),
+            (16, 4000, 8, 16), (8, 4000, 4, 64), (64, 500, 4, 16),
+            (128, 500, 8, 8), (256, 250, 4, 16)):
         gf, dt = bench(rows, iters, muls, inner, grid=2)
         best = max(best, gf)
         print(f"rows={rows:4d} loop={iters} streams={muls} "
