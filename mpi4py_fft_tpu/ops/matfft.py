@@ -173,6 +173,48 @@ def _use_butterfly(shape, axis, dtype, r2c=False):
     return _single_or_local()
 
 
+def _use_butterfly_pair(shape, axis, dtype):
+    """Axes past the single-kernel cap (N = 2048) run as ONE fused
+    pair-kernel pass over two half blocks (natural-order output halves:
+    no combine stage, no twiddle pass, no (Q, R) interleave transpose —
+    the round-4 four-step's overhead passes all disappear)."""
+    if _BFLY_MODE == 'off' or np.dtype(dtype) != np.float32:
+        return False
+    from . import pallas_butterfly as pb
+    nd = len(shape)
+    axis = axis % nd
+    N = shape[axis]
+    if N <= pb._MAX_N_AXIS or N % 2:
+        return False
+    half = list(shape)
+    half[axis] = N // 2
+    if not pb.supported_axis_split(tuple(half), axis, dtype):
+        return False
+    if _BFLY_MODE == 'on':
+        return True
+    return _single_or_local()
+
+
+def _butterfly_pair(p, axis, forward, scale):
+    # slice-halves + concat form.  Measured FASTER than the packed
+    # single-operand variant (pb.fft_axis_pair_p: 21.6 vs 20.1 ms on
+    # the (2048, 512, 256) lead pass) — XLA aliases the contiguous
+    # half-slices and the adjacent output buffers, so the apparent
+    # slice/concat passes are already free, while the packed form's 5-D
+    # blocks pipeline worse in Mosaic (scripts/tpu_pair_axis_probe.py).
+    from . import pallas_butterfly as pb
+    nd = p.ndim - 1
+    ax = 1 + (axis % nd)
+    h = p.shape[ax] // 2
+    sl = [slice(None)] * p.ndim
+    sl[ax] = slice(0, h)
+    a = p[tuple(sl)]
+    sl[ax] = slice(h, None)
+    b = p[tuple(sl)]
+    oa, ob = pb.fft_axis2_p(a, b, axis, forward, scale=scale)
+    return jnp.concatenate([oa, ob], axis=ax)
+
+
 def _butterfly_large_split(shape, axis, dtype):
     """For axes too long for the fused kernel (N > pb._MAX_N, pow2),
     return (R, Q, dit) for the four-step split N = R*Q — an XLA-fused
@@ -184,33 +226,58 @@ def _butterfly_large_split(shape, axis, dtype):
     nd = len(shape)
     axis = axis % nd
     N = shape[axis]
-    Q = pb._MAX_N
-    if N <= Q or N & (N - 1):
+    if N <= pb._MAX_N or N & (N - 1):
         return None
-    if N > pb._MAX_N_AXIS:
-        # long-axis extension (N = 2048/4096): wrap the LONGEST fused
-        # kernel length so the outer stage stays a tiny R <= 4 — the
-        # kernel does the heavy lifting and no full-volume einsum temp
-        # of the old dense fallback is materialized
-        # (ops/pallas_butterfly.py:50-58)
-        Q = pb._MAX_N_AXIS
-    R = N // Q
-    if R > 4:
-        return None
+    # long-axis extension (N = 4096+): wrap the longest SINGLE-kernel
+    # length so the outer stage stays a tiny R <= 4 — measured FASTER
+    # than wrapping the 2048 pair pass (41.7 vs 50.3 ms at
+    # (4096, 256, 256); the pair kernel's VMEM pressure halves its
+    # throughput, scripts/tpu_pair_axis_probe.py).  N = 2048 itself
+    # never reaches here (the direct pair path in fft1d_p wins).
+    qs = [min(N, pb._MAX_N_AXIS)]
     pre = int(np.prod(shape[:axis], dtype=np.int64)) if axis else 1
-    if pre == 1:
-        sub = shape[:axis] + (Q, R) + shape[axis + 1:]
-        ok = pb.supported_axis(sub, axis, dtype)
-        dit = True
-    else:
-        sub = shape[:axis] + (R, Q) + shape[axis + 1:]
-        ok = pb.supported_axis(sub, axis + 1, dtype)
-        dit = False
-    if not ok:
-        return None
-    if _BFLY_MODE != 'on' and not _single_or_local():
-        return None
-    return (R, Q, dit)
+    for Q in qs:
+        R = N // Q
+        if not 2 <= R <= 4:
+            continue
+        if pre == 1:
+            sub = shape[:axis] + (Q, R) + shape[axis + 1:]
+            ok = _axis_kernel_ok(sub, axis, dtype)
+            dit = True
+        else:
+            sub = shape[:axis] + (R, Q) + shape[axis + 1:]
+            ok = _axis_kernel_ok(sub, axis + 1, dtype)
+            dit = False
+        if ok:
+            if _BFLY_MODE != 'on' and not _single_or_local():
+                return None
+            return (R, Q, dit)
+    return None
+
+
+def _axis_kernel_ok(shape, axis, dtype):
+    """Single fused kernel OR 2048-point pair kernel covers this axis."""
+    from . import pallas_butterfly as pb
+    if pb.supported_axis(shape, axis, dtype):
+        return True
+    nd = len(shape)
+    axis = axis % nd
+    N = shape[axis]
+    if N <= pb._MAX_N_AXIS or N % 2:
+        return False
+    half = list(shape)
+    half[axis] = N // 2
+    return pb.supported_axis_split(tuple(half), axis, dtype)
+
+
+def _axis_kernel_p(x, ax, forward):
+    """Kernel dispatch for an axis already validated by
+    ``_axis_kernel_ok`` (planar coords: ``ax`` counts the complex
+    axes)."""
+    from . import pallas_butterfly as pb
+    if pb.supported_axis(x.shape[1:], ax, x.dtype):
+        return pb.fft_axis_p(x, ax, forward)
+    return _butterfly_pair(x, ax, forward, None)
 
 
 def _butterfly_large(p, axis, sign, split):
@@ -243,7 +310,7 @@ def _butterfly_large(p, axis, sign, split):
             if M % 8 == 0:
                 merged = x.shape
                 x = x.reshape(2, Q, M, x.shape[-1])
-        z = pb.fft_axis_p(x, ax - 1, forward=(sign == -1))   # complex coords
+        z = _axis_kernel_p(x, ax - 1, forward=(sign == -1))  # complex coords
         if merged is not None:
             z = z.reshape(merged)
         tw = _twiddle(R, Q, sign, dtype_str).swapaxes(1, 2)  # (2, Q, R)
@@ -266,7 +333,7 @@ def _butterfly_large(p, axis, sign, split):
         tw = jnp.asarray(_twiddle(R, Q, sign, dtype_str)).reshape(
             (2,) + (1,) * (ax - 1) + (R, Q) + (1,) * ntrail)
         y = _pmul(y, tw)
-        c = pb.fft_axis_p(y, ax, forward=(sign == -1))       # k2 at ax+1
+        c = _axis_kernel_p(y, ax, forward=(sign == -1))      # k2 at ax+1
         c = jnp.swapaxes(c, ax, ax + 1)                      # (k2, r)
     return c.reshape(shape[:ax] + (N,) + shape[ax + 1:])
 
@@ -576,6 +643,8 @@ def fft1d_p(p, axis, forward=True, scale=None):
     if _use_butterfly(p.shape[1:], axis, p.dtype):
         from . import pallas_butterfly as pb
         return pb.fft_axis_p(p, axis, forward, scale=scale)
+    if _use_butterfly_pair(p.shape[1:], axis, p.dtype):
+        return _butterfly_pair(p, axis, forward, scale)
     split = _butterfly_large_split(p.shape[1:], axis, p.dtype)
     if split is not None:
         y = _butterfly_large(p, axis, sign, split)

@@ -45,7 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ['fft_axis_p', 'supported_axis', 'rfft_axis_p',
            'irfft_axis_p', 'supported_c2r', 'fft_plane_p',
            'supported_plane', 'fft_plane_large_p', 'supported_plane_large',
-           'fft_axis2_p', 'supported_axis_split',
+           'fft_axis2_p', 'supported_axis_split', 'fft_axis_pair_p',
            'fft_axis_tp', 'supported_axis_tp', 'fused_tp_enabled']
 
 _LANE = 128
@@ -1237,6 +1237,15 @@ def _kern_last2s(xa_ref, xb_ref, tw_ref, oa_ref, ob_ref, *, N, sign,
         ob_ref[p] = jnp.swapaxes(jnp.transpose(v[h:], (1, 0, 2)), 1, 2)
 
 
+# Pair kernels hold each half as its own block, so the FULL length can
+# exceed the single-kernel cap: at N = 2048 the working set (2+2 half
+# blocks of 8.4 MB + ~17 MB twiddle pack + live stage states) still
+# fits the raised VMEM budget — probed on hardware; this is what keeps
+# 2048-long axes on ONE fused butterfly pass with natural-order output
+# halves (no (Q, R) interleave transpose).
+_MAX_N_PAIR = 2048
+
+
 def supported_axis_split(shape, axis, dtype):
     """Gate for ``fft_axis2_p``: ``shape`` is the complex shape of ONE
     half (the split axis carries N/2)."""
@@ -1244,11 +1253,28 @@ def supported_axis_split(shape, axis, dtype):
     axis = axis % nd
     full = list(shape)
     full[axis] *= 2
-    if not supported_axis(tuple(full), axis, dtype):
-        return False
     N = full[axis]
-    if N % 2 or not _supported_len(N):
+    if N % 2 or not _supported_len(N) or N > _MAX_N_PAIR:
         return False
+    if N <= _MAX_N_AXIS:
+        if not supported_axis(tuple(full), axis, dtype):
+            return False
+    else:
+        # beyond the single-kernel cap: same geometry gates, run on the
+        # half shape (pre/post are identical for full and half)
+        if np.dtype(dtype) != np.float32:
+            return False
+        pre_f = int(np.prod(shape[:axis], dtype=np.int64)) if axis else 1
+        post_f = int(np.prod(shape[axis + 1:], dtype=np.int64)) \
+            if axis < nd - 1 else 1
+        if post_f == 1:
+            if pre_f % (_SUB * _LANE):
+                return False
+        elif pre_f == 1:
+            if post_f < _LANE:
+                return False
+        elif pre_f % _SUB or post_f < _LANE:
+            return False
     pre = int(np.prod(shape[:axis], dtype=np.int64)) if axis else 1
     post = int(np.prod(shape[axis + 1:], dtype=np.int64)) \
         if axis < nd - 1 else 1
@@ -1358,6 +1384,117 @@ def fft_axis2_p(pa, pb_, axis, forward=True, interpret=None, scale=None,
     sign = -1 if forward else +1
     return _dispatch2(pa, pb_, axis, sign, interpret,
                       None if scale is None else float(scale), alias)
+
+
+# -- packed-halves pair dispatch --------------------------------------------
+# The split axis lives INSIDE one operand as an adjacent (2, N/2) pair
+# of sub-axes (a metadata-only reshape of the full array), so feeding a
+# long axis to the pair kernel costs ZERO extra HBM passes — no
+# materialized half slices on the way in and no concat on the way out.
+# This is what keeps N = 2048 axes at ONE fused kernel pass
+# (scripts/tpu_pair_axis_probe.py).
+
+def _kern_lead2q(x_ref, tw_ref, o_ref, *, N, sign, scale):
+    """Packed lead-axis pair: block (2, 2, N/2, 8, 128)."""
+    h = N // 2
+    r, i = _butterfly2(x_ref[0, 0], x_ref[1, 0], x_ref[0, 1],
+                       x_ref[1, 1], tw_ref, N, sign, scale)
+    o_ref[0, 0], o_ref[1, 0] = r[:h], i[:h]
+    o_ref[0, 1], o_ref[1, 1] = r[h:], i[h:]
+
+
+def _kern_mid2q(x_ref, tw_ref, o_ref, *, N, sign, scale):
+    """Packed mid-axis pair: block (2, 8, 2, N/2, 128)."""
+    h = N // 2
+    r, i = _butterfly2(
+        jnp.transpose(x_ref[0, :, 0], (1, 0, 2)),
+        jnp.transpose(x_ref[1, :, 0], (1, 0, 2)),
+        jnp.transpose(x_ref[0, :, 1], (1, 0, 2)),
+        jnp.transpose(x_ref[1, :, 1], (1, 0, 2)),
+        tw_ref, N, sign, scale)
+    for p, v in ((0, r), (1, i)):
+        o_ref[p] = jnp.stack([jnp.transpose(v[:h], (1, 0, 2)),
+                              jnp.transpose(v[h:], (1, 0, 2))], axis=1)
+
+
+def _kern_last2q(x_ref, tw_ref, o_ref, *, N, sign, scale):
+    """Packed last-axis pair: block (2, 8, 128, 2, N/2)."""
+    h = N // 2
+    st = []
+    for j in (0, 1):
+        for p in (0, 1):
+            x = jnp.swapaxes(x_ref[p, :, :, j], 1, 2)     # (8, h, 128)
+            st.append(jnp.transpose(x, (1, 0, 2)))        # (h, 8, 128)
+    r, i = _butterfly2(st[0], st[1], st[2], st[3], tw_ref, N, sign,
+                       scale)
+    for p, v in ((0, r), (1, i)):
+        o_ref[p] = jnp.stack(
+            [jnp.swapaxes(jnp.transpose(v[:h], (1, 0, 2)), 1, 2),
+             jnp.swapaxes(jnp.transpose(v[h:], (1, 0, 2)), 1, 2)],
+            axis=2)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('axis', 'sign', 'interpret', 'scale'))
+def _dispatch2q(p, axis, sign, interpret, scale):
+    shape = p.shape[1:]
+    nd = len(shape)
+    N = shape[axis]
+    h = N // 2
+    dtype_str = np.dtype(p.dtype).name
+    pre = int(np.prod(shape[:axis], dtype=np.int64)) if axis else 1
+    post = int(np.prod(shape[axis + 1:], dtype=np.int64)) \
+        if axis < nd - 1 else 1
+    tw_small = jnp.asarray(_tw_pack(N, sign, dtype_str))
+    tw = jnp.broadcast_to(tw_small[:, :, None, None],
+                          (2, tw_small.shape[1], _SUB, _LANE))
+    tw_spec = _bspec((2, tw_small.shape[1], _SUB, _LANE),
+                     lambda *g: (0, 0, 0, 0), memory_space=pltpu.VMEM)
+
+    def call(kern, x, block, imap, grid):
+        kw = {}
+        cp = _cparams(N)
+        if cp is not None and not interpret:
+            kw['compiler_params'] = cp
+        return pl.pallas_call(
+            functools.partial(kern, N=N, sign=sign, scale=scale),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            grid=grid,
+            in_specs=[_bspec(block, imap, memory_space=pltpu.VMEM),
+                      tw_spec],
+            out_specs=_bspec(block, imap, memory_space=pltpu.VMEM),
+            interpret=interpret,
+            **kw,
+        )(x, tw)
+
+    if post == 1:
+        x = p.reshape(2, pre // _LANE, _LANE, 2, h)
+        out = call(_kern_last2q, x, (2, _SUB, _LANE, 2, h),
+                   lambda i: (0, i, 0, 0, 0), (pre // (_SUB * _LANE),))
+    elif pre == 1:
+        x = p.reshape(2, 2, h, post // _LANE, _LANE)
+        out = call(_kern_lead2q, x, (2, 2, h, _SUB, _LANE),
+                   lambda i: (0, 0, 0, i, 0),
+                   (_cdiv(post // _LANE, _SUB),))
+    else:
+        x = p.reshape(2, pre, 2, h, post)
+        out = call(_kern_mid2q, x, (2, _SUB, 2, h, _LANE),
+                   lambda i, j: (0, i, 0, 0, j),
+                   (pre // _SUB, _cdiv(post, _LANE)))
+    return out.reshape(p.shape)
+
+
+def fft_axis_pair_p(p, axis, forward=True, interpret=None, scale=None):
+    """Planar c2c FFT along a LONG axis (N up to ``_MAX_N_PAIR``) as one
+    packed pair-kernel pass on a single array — the zero-extra-pass form
+    of :func:`fft_axis2_p`.  Requires ``supported_axis_split`` on the
+    half shape."""
+    nd = p.ndim - 1
+    axis = axis % nd
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    return _dispatch2q(p, axis, -1 if forward else +1, interpret,
+                       None if scale is None else float(scale))
 
 
 # ---------------------------------------------------------------------------
