@@ -228,13 +228,15 @@ def _butterfly_large_split(shape, axis, dtype):
     N = shape[axis]
     if N <= pb._MAX_N or N & (N - 1):
         return None
-    # long-axis extension (N = 4096+): wrap the longest SINGLE-kernel
-    # length so the outer stage stays a tiny R <= 4 — measured FASTER
-    # than wrapping the 2048 pair pass (41.7 vs 50.3 ms at
-    # (4096, 256, 256); the pair kernel's VMEM pressure halves its
-    # throughput, scripts/tpu_pair_axis_probe.py).  N = 2048 itself
-    # never reaches here (the direct pair path in fft1d_p wins).
-    qs = [min(N, pb._MAX_N_AXIS)]
+    # N <= 1024 falls back to a Q = _MAX_N four-step when the direct
+    # kernel's geometry gate fails; the long-axis extension (N >= 2048)
+    # wraps the longest SINGLE-kernel length so the outer stage stays a
+    # tiny R <= 4 — measured FASTER than wrapping the 2048 pair pass
+    # (41.7 vs 50.3 ms at (4096, 256, 256); the pair kernel's VMEM
+    # pressure halves its throughput, scripts/tpu_pair_axis_probe.py).
+    # A supported N = 2048 axis never reaches here (the direct pair
+    # path in fft1d_p wins).
+    qs = [pb._MAX_N] if N <= pb._MAX_N_AXIS else [pb._MAX_N_AXIS]
     pre = int(np.prod(shape[:axis], dtype=np.int64)) if axis else 1
     for Q in qs:
         R = N // Q

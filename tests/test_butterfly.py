@@ -360,3 +360,19 @@ def test_c2r_fused_hermitian_pad(shape, axis, Nt):
     zi = np.asarray(padded[0]) + 1j * np.asarray(padded[1])
     ref = np.fft.irfft(zi, n=N, axis=axis)
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_pair_axis_gates():
+    """N = 2048 axes dispatch the fused pair-kernel path directly;
+    4096 stays on the Q=1024 four-step (measured faster than wrapping
+    the pair, docs/benchmarks.md)."""
+    matfft.set_butterfly_mode('on')
+    try:
+        up = matfft._use_butterfly_pair
+        assert up((2048, 8, 128), 0, np.float32)
+        assert up((8, 2048, 128), 1, np.float32)
+        assert not up((4096, 8, 128), 0, np.float32)   # > _MAX_N_PAIR
+        assert not up((1024, 8, 128), 0, np.float32)   # single kernel
+        assert not up((2048, 8, 128), 0, np.float64)   # f32 only
+    finally:
+        matfft.set_butterfly_mode('auto')
