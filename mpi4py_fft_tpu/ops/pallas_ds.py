@@ -260,6 +260,33 @@ def _kern_lead_ds(x_ref, tw_ref, o_ref, *, N, sign):
     o_ref[1, 0], o_ref[1, 1] = ih, il
 
 
+def _kern_mid_ds(x_ref, tw_ref, o_ref, *, N, sign):
+    """Mid-axis DS kernel: block (2, 2, 8, N, 128) — the transform axis
+    moves to the block lead with a tile-local transpose, so the
+    HBM-side layout is untouched (no moveaxis relayout passes)."""
+    def g(c, d):
+        return jnp.transpose(x_ref[c, d], (1, 0, 2))
+    z = ((g(0, 0), g(0, 1)), (g(1, 0), g(1, 1)))
+    (rh, rl), (ih, il) = _butterfly_ds(z, tw_ref, N, sign)
+    for (c, d), v in (((0, 0), rh), ((0, 1), rl),
+                      ((1, 0), ih), ((1, 1), il)):
+        o_ref[c, d] = jnp.transpose(v, (1, 0, 2))
+
+
+def _kern_last_ds(x_ref, tw_ref, o_ref, *, N, sign):
+    """Last-axis DS kernel: block (2, 2, 8, 128, N) — lanes swap with
+    the transform axis inside the block (cf. the f32 last-axis
+    variant), keeping the HBM layout untouched."""
+    def g(c, d):
+        x = jnp.swapaxes(x_ref[c, d], 1, 2)       # (8, N, 128)
+        return jnp.transpose(x, (1, 0, 2))        # (N, 8, 128)
+    z = ((g(0, 0), g(0, 1)), (g(1, 0), g(1, 1)))
+    (rh, rl), (ih, il) = _butterfly_ds(z, tw_ref, N, sign)
+    for (c, d), v in (((0, 0), rh), ((0, 1), rl),
+                      ((1, 0), ih), ((1, 1), il)):
+        o_ref[c, d] = jnp.swapaxes(jnp.transpose(v, (1, 0, 2)), 1, 2)
+
+
 def supported_ds(shape, axis):
     """Gate for :func:`fft_axis_ds`: any axis of a power-of-two extent
     ≤ ``_MAX_N_DS`` whose complementary volume tiles the (8, 128) VPU
@@ -273,52 +300,99 @@ def supported_ds(shape, axis):
     return post % (_SUB * _LANE) == 0
 
 
-@functools.partial(jax.jit, static_argnames=('sign', 'interpret'))
-def _dispatch_ds(p, sign, interpret):
-    shape = p.shape[2:]
-    N = shape[0]
-    post = int(np.prod(shape[1:], dtype=np.int64))
+def _tw_and_call(kern, x, block, imap, grid, N, sign, interpret):
     tw_small = jnp.asarray(_tw_pack_ds(N, sign))
     tw = jnp.broadcast_to(tw_small[:, :, :, None, None],
                           (2, 2, tw_small.shape[2], _SUB, _LANE))
     tw_spec = _bspec((2, 2, tw_small.shape[2], _SUB, _LANE),
-                     lambda i: (0, 0, 0, 0, 0), memory_space=pltpu.VMEM)
-    x = p.reshape(2, 2, N, post // _LANE, _LANE)
+                     lambda *g: (0, 0, 0, 0, 0), memory_space=pltpu.VMEM)
     kw = {}
     if not interpret:
         kw['compiler_params'] = pltpu.CompilerParams(
             vmem_limit_bytes=120 * 2 ** 20)
-    out = pl.pallas_call(
-        functools.partial(_kern_lead_ds, N=N, sign=sign),
+    return pl.pallas_call(
+        functools.partial(kern, N=N, sign=sign),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        grid=(post // (_SUB * _LANE),),
-        in_specs=[_bspec((2, 2, N, _SUB, _LANE),
-                         lambda i: (0, 0, 0, i, 0),
-                         memory_space=pltpu.VMEM), tw_spec],
-        out_specs=_bspec((2, 2, N, _SUB, _LANE),
-                         lambda i: (0, 0, 0, i, 0),
-                         memory_space=pltpu.VMEM),
+        grid=grid,
+        in_specs=[_bspec(block, imap, memory_space=pltpu.VMEM), tw_spec],
+        out_specs=_bspec(block, imap, memory_space=pltpu.VMEM),
         interpret=interpret,
         **kw,
     )(x, tw)
+
+
+@functools.partial(jax.jit, static_argnames=('sign', 'interpret'))
+def _dispatch_ds(p, sign, interpret):
+    """Lead-axis DS kernel call: p is (2, 2, N, rest...)."""
+    shape = p.shape[2:]
+    N = shape[0]
+    post = int(np.prod(shape[1:], dtype=np.int64))
+    x = p.reshape(2, 2, N, post // _LANE, _LANE)
+    out = _tw_and_call(
+        _kern_lead_ds, x, (2, 2, N, _SUB, _LANE),
+        lambda i: (0, 0, 0, i, 0), (post // (_SUB * _LANE),),
+        N, sign, interpret)
+    return out.reshape(p.shape)
+
+
+@functools.partial(jax.jit, static_argnames=('axis', 'sign', 'interpret'))
+def _dispatch_ds_mid(p, axis, sign, interpret):
+    """Mid-axis DS kernel call (no relayout): (2, 2, pre, N, post)."""
+    shape = p.shape[2:]
+    nd = len(shape)
+    N = shape[axis]
+    pre = int(np.prod(shape[:axis], dtype=np.int64))
+    post = int(np.prod(shape[axis + 1:], dtype=np.int64))
+    x = p.reshape(2, 2, pre, N, post)
+    out = _tw_and_call(
+        _kern_mid_ds, x, (2, 2, _SUB, N, _LANE),
+        lambda i, j: (0, 0, i, 0, j), (pre // _SUB, post // _LANE),
+        N, sign, interpret)
+    return out.reshape(p.shape)
+
+
+@functools.partial(jax.jit, static_argnames=('sign', 'interpret'))
+def _dispatch_ds_last(p, sign, interpret):
+    """Last-axis DS kernel call (no relayout): (2, 2, pre..., N)."""
+    shape = p.shape[2:]
+    N = shape[-1]
+    pre = int(np.prod(shape[:-1], dtype=np.int64))
+    x = p.reshape(2, 2, pre // _LANE, _LANE, N)
+    out = _tw_and_call(
+        _kern_last_ds, x, (2, 2, _SUB, _LANE, N),
+        lambda i: (0, 0, i, 0, 0), (pre // (_SUB * _LANE),),
+        N, sign, interpret)
     return out.reshape(p.shape)
 
 
 def fft_axis_ds(p, axis=0, forward=True, interpret=None):
     """Unnormalized c2c FFT along ``axis`` of planar-DS data
-    ``(2, 2) + shape`` at double-single precision.  A non-lead transform
-    axis is moved to the lead position for the kernel (one XLA relayout
-    each way)."""
+    ``(2, 2) + shape`` at double-single precision.  Lead, mid and last
+    axes each have a native-layout kernel variant (the transform axis
+    reaches the block lead via tile-local moves, never an HBM
+    relayout); other geometries fall back to one moveaxis relayout
+    each way."""
     nd = p.ndim - 2
     axis = axis % nd
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
-    if axis != 0:
-        p = jnp.moveaxis(p, 2 + axis, 2)
-    out = _dispatch_ds(p, -1 if forward else +1, interpret)
-    if axis != 0:
-        out = jnp.moveaxis(out, 2, 2 + axis)
-    return out
+    sign = -1 if forward else +1
+    shape = p.shape[2:]
+    N = shape[axis]
+    pre = int(np.prod(shape[:axis], dtype=np.int64)) if axis else 1
+    post = int(np.prod(shape[axis + 1:], dtype=np.int64)) \
+        if axis < nd - 1 else 1
+    if pre == 1:
+        return _dispatch_ds(p, sign, interpret)
+    if post == 1 and pre % (_SUB * _LANE) == 0:
+        return _dispatch_ds_last(p, sign, interpret)
+    if post == 1 or (pre % _SUB == 0 and post % _LANE == 0):
+        if post % _LANE == 0 and pre % _SUB == 0 and post > 1:
+            return _dispatch_ds_mid(p, axis, sign, interpret)
+    # fallback: relayout to the lead position
+    p = jnp.moveaxis(p, 2 + axis, 2)
+    out = _dispatch_ds(p, sign, interpret)
+    return jnp.moveaxis(out, 2, 2 + axis)
 
 
 # ---------------------------------------------------------------------------
