@@ -559,17 +559,22 @@ def rfft_axis_ds(x, axis=0, interpret=None, hext=None):
     q = jnp.stack([xe, xo])                     # (2=cplx, 2=ds, H, rest)
     Z = fft_axis_ds(q, 0, True, interpret=interpret)
     z = _unpack_cds(Z)
-    # A[k] = Z[k mod H], B[k] = conj(Z[(H-k) mod H]), k = 0..H
-    idx_a = np.concatenate([np.arange(H), [0]])
-    idx_b = np.concatenate([[0], np.arange(H - 1, 0, -1), [0]])
 
-    def take(t, idx):
-        g = jnp.asarray(idx)
-        return tuple(tuple(jnp.take(v, g, axis=0) for v in comp)
-                     for comp in t)
+    # A[k] = Z[k mod H], B[k] = conj(Z[(H-k) mod H]), k = 0..H — built
+    # from slice + reverse + concat (XLA fuses these; index gathers pay
+    # full relayout passes on TPU)
+    def amap(v):
+        return jnp.concatenate([v, v[:1]], axis=0)
 
-    A = take(z, idx_a)
-    B = _cconj(take(z, idx_b))
+    def bmap(v):
+        return jnp.concatenate([v[:1], jnp.flip(v[1:], axis=0), v[:1]],
+                               axis=0)
+
+    def lift(t, f):
+        return tuple(tuple(f(v) for v in comp) for comp in t)
+
+    A = lift(z, amap)
+    B = _cconj(lift(z, bmap))
     # X[k] = (A+B)/2 + W[k] (A-B),  W = -(i/2) e^{-2 pi i k/N}
     S = _scale_cds(_cadd(A, B), 0.5)
     D = _csub(A, B)
@@ -596,15 +601,20 @@ def irfft_axis_ds(p, axis, n, scale=None, interpret=None):
     p = p[:, :, :H + 1]
     X = _unpack_cds(p)
 
-    def take(t, idx):
-        g = jnp.asarray(idx)
-        return tuple(tuple(jnp.take(v, g, axis=0) for v in comp)
-                     for comp in t)
+    # X[k] (k = 0..H-1) and conj(X[H-k]) via slice + reverse + concat
+    # (no index gathers — see rfft_axis_ds)
+    def kmap(v):
+        return v[:H]
 
-    idx_k = np.arange(H)
-    idx_r = np.concatenate([[H], np.arange(H - 1, 0, -1)])  # H-k, k=0..H-1
-    Xk = take(X, idx_k)
-    Xr = _cconj(take(X, idx_r))
+    def rmap(v):
+        return jnp.concatenate([v[H:H + 1], jnp.flip(v[1:H], axis=0)],
+                               axis=0)
+
+    def lift(t, f):
+        return tuple(tuple(f(v) for v in comp) for comp in t)
+
+    Xk = lift(X, kmap)
+    Xr = _cconj(lift(X, rmap))
     # E = Xk + conj(X[H-k]);  O = (Xk - conj(X[H-k])) e^{+2 pi i k/N}
     E = _cadd(Xk, Xr)
     W = _tw_bcast(_rfft_tw_ds(N, inverse=True)[:, :, :H], p.ndim - 3)
