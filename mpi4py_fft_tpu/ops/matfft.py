@@ -244,42 +244,17 @@ def _butterfly_large_split(shape, axis, dtype):
             continue
         if pre == 1:
             sub = shape[:axis] + (Q, R) + shape[axis + 1:]
-            ok = _axis_kernel_ok(sub, axis, dtype)
+            ok = pb.supported_axis(sub, axis, dtype)
             dit = True
         else:
             sub = shape[:axis] + (R, Q) + shape[axis + 1:]
-            ok = _axis_kernel_ok(sub, axis + 1, dtype)
+            ok = pb.supported_axis(sub, axis + 1, dtype)
             dit = False
         if ok:
             if _BFLY_MODE != 'on' and not _single_or_local():
                 return None
             return (R, Q, dit)
     return None
-
-
-def _axis_kernel_ok(shape, axis, dtype):
-    """Single fused kernel OR 2048-point pair kernel covers this axis."""
-    from . import pallas_butterfly as pb
-    if pb.supported_axis(shape, axis, dtype):
-        return True
-    nd = len(shape)
-    axis = axis % nd
-    N = shape[axis]
-    if N <= pb._MAX_N_AXIS or N % 2:
-        return False
-    half = list(shape)
-    half[axis] = N // 2
-    return pb.supported_axis_split(tuple(half), axis, dtype)
-
-
-def _axis_kernel_p(x, ax, forward):
-    """Kernel dispatch for an axis already validated by
-    ``_axis_kernel_ok`` (planar coords: ``ax`` counts the complex
-    axes)."""
-    from . import pallas_butterfly as pb
-    if pb.supported_axis(x.shape[1:], ax, x.dtype):
-        return pb.fft_axis_p(x, ax, forward)
-    return _butterfly_pair(x, ax, forward, None)
 
 
 def _butterfly_large(p, axis, sign, split):
@@ -312,7 +287,7 @@ def _butterfly_large(p, axis, sign, split):
             if M % 8 == 0:
                 merged = x.shape
                 x = x.reshape(2, Q, M, x.shape[-1])
-        z = _axis_kernel_p(x, ax - 1, forward=(sign == -1))  # complex coords
+        z = pb.fft_axis_p(x, ax - 1, forward=(sign == -1))   # complex coords
         if merged is not None:
             z = z.reshape(merged)
         tw = _twiddle(R, Q, sign, dtype_str).swapaxes(1, 2)  # (2, Q, R)
@@ -335,7 +310,7 @@ def _butterfly_large(p, axis, sign, split):
         tw = jnp.asarray(_twiddle(R, Q, sign, dtype_str)).reshape(
             (2,) + (1,) * (ax - 1) + (R, Q) + (1,) * ntrail)
         y = _pmul(y, tw)
-        c = _axis_kernel_p(y, ax, forward=(sign == -1))      # k2 at ax+1
+        c = pb.fft_axis_p(y, ax, forward=(sign == -1))       # k2 at ax+1
         c = jnp.swapaxes(c, ax, ax + 1)                      # (k2, r)
     return c.reshape(shape[:ax] + (N,) + shape[ax + 1:])
 

@@ -1259,22 +1259,11 @@ def supported_axis_split(shape, axis, dtype):
     if N <= _MAX_N_AXIS:
         if not supported_axis(tuple(full), axis, dtype):
             return False
-    else:
-        # beyond the single-kernel cap: same geometry gates, run on the
-        # half shape (pre/post are identical for full and half)
-        if np.dtype(dtype) != np.float32:
-            return False
-        pre_f = int(np.prod(shape[:axis], dtype=np.int64)) if axis else 1
-        post_f = int(np.prod(shape[axis + 1:], dtype=np.int64)) \
-            if axis < nd - 1 else 1
-        if post_f == 1:
-            if pre_f % (_SUB * _LANE):
-                return False
-        elif pre_f == 1:
-            if post_f < _LANE:
-                return False
-        elif pre_f % _SUB or post_f < _LANE:
-            return False
+    elif np.dtype(dtype) != np.float32:
+        # beyond the single-kernel cap only the dtype gate is needed
+        # here: the pair-specific geometry checks below subsume
+        # supported_axis's pre/post conditions
+        return False
     pre = int(np.prod(shape[:axis], dtype=np.int64)) if axis else 1
     post = int(np.prod(shape[axis + 1:], dtype=np.int64)) \
         if axis < nd - 1 else 1

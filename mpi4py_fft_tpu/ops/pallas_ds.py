@@ -371,7 +371,8 @@ def fft_axis_ds(p, axis=0, forward=True, interpret=None):
     axes each have a native-layout kernel variant (the transform axis
     reaches the block lead via tile-local moves, never an HBM
     relayout); other geometries fall back to one moveaxis relayout
-    each way."""
+    each way.  Dispatch is canonicalized on the (pre, N, post) view, so
+    unit-extent dims around the transform axis are harmless."""
     nd = p.ndim - 2
     axis = axis % nd
     if interpret is None:
@@ -383,16 +384,17 @@ def fft_axis_ds(p, axis=0, forward=True, interpret=None):
     post = int(np.prod(shape[axis + 1:], dtype=np.int64)) \
         if axis < nd - 1 else 1
     if pre == 1:
-        return _dispatch_ds(p, sign, interpret)
-    if post == 1 and pre % (_SUB * _LANE) == 0:
-        return _dispatch_ds_last(p, sign, interpret)
-    if post == 1 or (pre % _SUB == 0 and post % _LANE == 0):
-        if post % _LANE == 0 and pre % _SUB == 0 and post > 1:
-            return _dispatch_ds_mid(p, axis, sign, interpret)
-    # fallback: relayout to the lead position
-    p = jnp.moveaxis(p, 2 + axis, 2)
-    out = _dispatch_ds(p, sign, interpret)
-    return jnp.moveaxis(out, 2, 2 + axis)
+        out = _dispatch_ds(p.reshape(2, 2, N, post), sign, interpret)
+    elif post == 1:
+        out = _dispatch_ds_last(p.reshape(2, 2, pre, N), sign, interpret)
+    elif pre % _SUB == 0 and post % _LANE == 0:
+        out = _dispatch_ds_mid(p.reshape(2, 2, pre, N, post), 1, sign,
+                               interpret)
+    else:
+        # fallback: relayout to the lead position
+        x = jnp.moveaxis(p.reshape(2, 2, pre, N, post), 3, 2)
+        out = jnp.moveaxis(_dispatch_ds(x, sign, interpret), 2, 3)
+    return out.reshape(p.shape)
 
 
 # ---------------------------------------------------------------------------

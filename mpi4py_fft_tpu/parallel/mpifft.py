@@ -341,6 +341,9 @@ class Transform(object):
         # fftw_xfftn.pyx:237-249).  Also taken automatically when the
         # caller hands a planar-shaped array in.
         planar = kw.pop('planar', None)
+        assert not (planar and self._host_mode), \
+            "planar=True needs a device backend; host-mode plans " \
+            "(numpy/scipy) take complex arrays directly"
         if input_array is not None and not self._host_mode:
             in_planar_shape = (2,) + self._in_shape if self._planars[0] \
                 else self._in_shape
@@ -364,7 +367,16 @@ class Transform(object):
                         int(self._planars[0])))
                 y = self._jit(x, bool(normalize))
                 if output_array is not None:
-                    output_array[...] = np.asarray(y)
+                    # a complex-typed output buffer gets the logical
+                    # complex values; a planar-shaped one the raw form
+                    if self._planars[-1] and \
+                            tuple(np.shape(output_array)) != \
+                            (2,) + self._out_shape:
+                        yh = _host_value(y)
+                        output_array[...] = (yh[0] + 1j * yh[1]).astype(
+                            self._out_dtype)
+                    else:
+                        output_array[...] = np.asarray(y)
                     return output_array
                 return y
         if input_array is None:

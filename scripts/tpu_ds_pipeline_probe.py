@@ -70,24 +70,15 @@ def main(n=256):
         p = PlanarPFFT(None, (n,) * 3, dtype=dtype)
         used_ds = p._ds
 
-        if dtype == 'D':
-            def step(q):
-                for _ in range(chain):
-                    q = p.backward_fn(p.forward_fn(q, normalize=True),
-                                      normalize=False)
-                return q
-            x0 = jax.jit(lambda k: jax.random.uniform(
-                k, (2,) + (n,) * 3, jnp.float64, -0.5, 0.5))(
-                    jax.random.PRNGKey(0))
-        else:
-            def step(q):
-                for _ in range(chain):
-                    q = p.backward_fn(p.forward_fn(q, normalize=True),
-                                      normalize=False)
-                return q
-            x0 = jax.jit(lambda k: jax.random.uniform(
-                k, (n,) * 3, jnp.float64, -0.5, 0.5))(
-                    jax.random.PRNGKey(0))
+        def step(q):
+            for _ in range(chain):
+                q = p.backward_fn(p.forward_fn(q, normalize=True),
+                                  normalize=False)
+            return q
+
+        shape = ((2,) + (n,) * 3) if dtype == 'D' else (n,) * 3
+        x0 = jax.jit(lambda k: jax.random.uniform(
+            k, shape, jnp.float64, -0.5, 0.5))(jax.random.PRNGKey(0))
         f = jax.jit(step, donate_argnums=(0,))
         y = f(x0)
         sync(y)

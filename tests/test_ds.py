@@ -214,3 +214,24 @@ def test_ds_serial_engine_gate():
     assert np.linalg.norm((Y[0] + 1j * Y[1]) - refr) \
         / np.linalg.norm(refr) < D_TOL / 1e3
     assert np.linalg.norm(back - x) / np.linalg.norm(x) < D_TOL / 1e3
+
+
+def test_ds_unit_extent_dims():
+    """Dispatch canonicalizes on (pre, N, post): unit-extent dims around
+    the transform axis must not mis-route to the wrong kernel (found by
+    round-5 review: (1, 256, 1024) axis 1 crashed in _tw_pack_ds(1))."""
+    import jax.numpy as jnp
+    from mpi4py_fft_tpu.ops.pallas_ds import (
+        split_planar_ds, join_planar_ds)
+    rng = np.random.default_rng(10)
+    for shape, ax in (((1, 64, 1024), 1), ((64, 16, 64, 1), 2),
+                      ((1, 1, 64, 1024), 2)):
+        assert ds.supported_ds(shape, ax)
+        z = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+        q = split_planar_ds(jnp.asarray(np.stack([z.real, z.imag])))
+        y = ds.fft_axis_ds(q, ax, True, interpret=True)
+        g = np.asarray(join_planar_ds(y))
+        ref = np.fft.fft(z, axis=ax)
+        rel = np.linalg.norm((g[0] + 1j * g[1]) - ref) \
+            / np.linalg.norm(ref)
+        assert rel < D_TOL / 1e3, (shape, ax, rel)

@@ -255,5 +255,17 @@ def test_r2r_fft_impl():
                         (N, kind, dt)
                     assert np.abs(dense - ref).max() / sc < tol, \
                         (N, kind, dt)
+        # DHT has no scipy reference: cross-check the FFT path (the
+        # default engine at N >= 16) against the dense basis
+        from mpi4py_fft_tpu.ops.kinds import FFTW_DHT
+        for N in (8, 13, 20, 31, 64):
+            x = rng.standard_normal((3, N, 4))
+            core.set_r2r_impl('fft')
+            out = np.asarray(core.r2r(jnp.asarray(x), (1,), (FFTW_DHT,)))
+            core.set_r2r_impl('dense')
+            dense = np.asarray(core.r2r(jnp.asarray(x), (1,),
+                                        (FFTW_DHT,)))
+            sc = max(1.0, float(np.abs(dense).max()))
+            assert np.abs(out - dense).max() / sc < 1e-12, N
     finally:
         core.set_r2r_impl(prev)
