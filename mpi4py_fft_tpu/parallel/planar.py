@@ -39,9 +39,13 @@ def _local_fft1d(p, ax, forward, scale=None):
     dispatch (inside shard_map the engine's single-device auto check does
     not apply — local shard shapes decide kernel support)."""
     from ..ops import pallas_butterfly as pb
-    if (matfft._BFLY_MODE != 'off' and jax.default_backend() == 'tpu'
-            and pb.supported_axis(p.shape[1:], ax, p.dtype)):
-        return pb.fft_axis_p(p, ax, forward, scale=scale)
+    if matfft._BFLY_MODE != 'off' and jax.default_backend() == 'tpu':
+        if pb.supported_axis(p.shape[1:], ax, p.dtype):
+            return pb.fft_axis_p(p, ax, forward, scale=scale)
+        # long local axes (N = 2048): the fused pair-kernel pass
+        with matfft.local_dispatch():
+            if matfft._use_butterfly_pair(p.shape[1:], ax, p.dtype):
+                return matfft._butterfly_pair(p, ax, forward, scale)
     return matfft.fft1d_p(p, ax, forward, scale=scale)
 
 
