@@ -1,10 +1,14 @@
 """Double-single (two-float32) butterfly tier — ops/pallas_ds.py.
 
-The on-chip f64-precision prototype: error-free f32 transformations
-must land ~5 orders of magnitude inside the reference's double
-tolerance 2e-10 (reference: tests/test_mpifft.py:17).  Interpret-mode
-(CPU) checks; the on-chip verification lives in scripts/tpu_ds_probe.py
-and its measured numbers in docs/precision.md.
+The on-chip f64 PRODUCTION tier: error-free f32 transformations must
+land ~5 orders of magnitude inside the reference's double tolerance
+2e-10 (reference: tests/test_mpifft.py:17).  Covers the kernel
+primitives, packed r2c/c2r, the multi-axis driver, the PlanarPFFT
+dispatch (single-device c2c+r2c and multi-device shard_map c2c), and
+the serial-engine gates — all in interpret mode (CPU); the on-chip
+verification lives in scripts/tpu_ds_probe.py and
+scripts/tpu_ds_pipeline_probe.py, measured numbers in
+docs/precision.md.
 """
 import numpy as np
 import pytest
